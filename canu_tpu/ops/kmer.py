@@ -1,0 +1,388 @@
+"""Device k-mer extraction and counting (meryl equivalent).
+
+Replaces the reference meryl k-mer counter
+(/root/reference/src/meryl/meryl.C, libmeryl.C — pack mers, segment,
+sort, merge) with a TPU design: packed read blocks unpack on the VPU with
+shifts/masks, canonical k-mers are computed with branch-free bit
+twiddling, and counting is ONE device sort over the whole read set plus a
+fixed-shape run-length reduction.  Only small results (count histogram,
+frequent-mer table) leave the device — device-to-host bandwidth is the
+scarce resource, not FLOPs.
+
+k is limited to <= 16 so a canonical k-mer fits one uint32 lane (the
+reference default for the MHAP stage is 16 —
+/root/reference/src/pipelines/canu/Defaults.pm mhapMerSize; its ovl stage
+uses 22, which we will support later via 2-lane packing).
+
+Multi-chip scaling: k-mers are sharded by hash range (top bits of a mixed
+hash) and exchanged via all_to_all before the per-shard sort; see
+canu_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..stores.readset import ReadSet
+from ..utils.bitpack import n_words
+
+# Sentinel that sorts after every valid canonical k-mer (valid k-mers for
+# k=16 use all 32 bits, but the canonical min(fw, rc) can never be
+# 0xFFFFFFFF: its own revcomp would be 0x0 which is smaller).
+INVALID_KMER = jnp.uint32(0xFFFFFFFF)
+
+
+def unpack_bases(words: jax.Array) -> jax.Array:
+    """uint32[..., W] packed words -> uint8[..., W*16] base codes (device).
+
+    Inverse of canu_tpu.utils.bitpack.pack_codes, but on device.
+    """
+    shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, :]
+    expanded = (words[..., :, None] >> shifts) & jnp.uint32(3)
+    return expanded.reshape(*words.shape[:-1], words.shape[-1] * 16).astype(jnp.uint8)
+
+
+def reverse_2bit_groups(x: jax.Array) -> jax.Array:
+    """Reverse the sixteen 2-bit groups of each uint32 lane."""
+    x = (x >> 16) | (x << 16)
+    x = ((x & jnp.uint32(0xFF00FF00)) >> 8) | ((x & jnp.uint32(0x00FF00FF)) << 8)
+    x = ((x & jnp.uint32(0xF0F0F0F0)) >> 4) | ((x & jnp.uint32(0x0F0F0F0F)) << 4)
+    x = ((x & jnp.uint32(0xCCCCCCCC)) >> 2) | ((x & jnp.uint32(0x33333333)) << 2)
+    return x
+
+
+def revcomp_kmer(kmers: jax.Array, k: int) -> jax.Array:
+    """Reverse complement of packed k-mers (first base most significant)."""
+    mask = jnp.uint32(0xFFFFFFFF) if k == 16 else jnp.uint32((1 << (2 * k)) - 1)
+    comp = (~kmers) & mask
+    return reverse_2bit_groups(comp << jnp.uint32(32 - 2 * k))
+
+
+@partial(jax.jit, static_argnames=("k",))
+def extract_kmers(words: jax.Array, lengths: jax.Array, k: int):
+    """Canonical k-mers of a padded read block.
+
+    Args:
+      words: uint32[B, W] packed reads (zero-padded).
+      lengths: int32[B] read lengths in bases.
+      k: k-mer size, 2..16.
+
+    Returns:
+      canon: uint32[B, P] canonical k-mers (INVALID_KMER where the window
+        falls off the read), P = W*16 - k + 1.
+      strand: bool[B, P] True where the reverse-complement was the
+        canonical form (needed for overlap orientation voting).
+    """
+    assert 2 <= k <= 16
+    bases = unpack_bases(words)  # [B, L]
+    B, L = bases.shape
+    P = L - k + 1
+    # fw[i] = sum_j bases[i+j] << 2*(k-1-j): k shifted adds.
+    fw = jnp.zeros((B, P), dtype=jnp.uint32)
+    for j in range(k):
+        fw = (fw << 2) | bases[:, j : j + P].astype(jnp.uint32)
+    rc = revcomp_kmer(fw, k)
+    canon = jnp.minimum(fw, rc)
+    strand = rc < fw
+    pos = jnp.arange(P, dtype=jnp.int32)[None, :]
+    valid = pos <= (lengths[:, None] - k)
+    canon = jnp.where(valid, canon, INVALID_KMER)
+    return canon, strand
+
+
+@jax.jit
+def sort_count(kmers_flat: jax.Array):
+    """Sort a flat uint32 k-mer array and run-length count it (fixed shape).
+
+    Returns (sorted, counts) where counts[i] is the run length at run
+    START positions and 0 elsewhere; INVALID_KMER entries sort to the end
+    and get count 0 so they never pollute histograms/selection.
+    """
+    s = jnp.sort(kmers_flat)
+    n = s.shape[0]
+    is_start = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+    run_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    per_run = jax.ops.segment_sum(jnp.ones(n, jnp.int32), run_id, num_segments=n)
+    counts = jnp.where(is_start & (s != INVALID_KMER), per_run[run_id], 0)
+    return s, counts
+
+
+@partial(jax.jit, static_argnames=("max_count",))
+def histogram_device(counts: jax.Array, max_count: int = 65535) -> jax.Array:
+    """hist[c] = number of runs with length exactly c (c clipped to
+    max_count); hist[0] is meaningless (non-start positions).
+
+    Device equivalent of meryl -Dh (/root/reference/src/meryl/meryl-dump.C).
+    """
+    return jnp.bincount(jnp.minimum(counts, max_count), length=max_count + 1)
+
+
+@partial(jax.jit, static_argnames=("max_out",))
+def select_frequent_device(sorted_kmers: jax.Array, counts: jax.Array, threshold, max_out: int):
+    """Gather (kmer, count) pairs with count > threshold, fixed size.
+
+    Returns (kmers[max_out], counts[max_out], n_found); unused slots hold
+    INVALID_KMER / 0.  If n_found > max_out the table is truncated
+    (caller should warn and raise max_out).
+    """
+    mask = counts > threshold
+    idx = jnp.nonzero(mask, size=max_out, fill_value=sorted_kmers.shape[0])[0]
+    safe = idx < sorted_kmers.shape[0]
+    km = jnp.where(safe, sorted_kmers[jnp.minimum(idx, sorted_kmers.shape[0] - 1)], INVALID_KMER)
+    ct = jnp.where(safe, counts[jnp.minimum(idx, sorted_kmers.shape[0] - 1)], 0)
+    return km, ct, jnp.sum(mask.astype(jnp.int32))
+
+
+# ---- block planning ---------------------------------------------------------
+
+
+def _pow2_at_least(x: int) -> int:
+    return 1 << max(0, int(x - 1).bit_length())
+
+
+def length_bucketed_blocks(readset: ReadSet, block_size: int) -> Iterator[tuple[np.ndarray, int]]:
+    """Yield (ids, pad_words) blocks with reads sorted by descending
+    length and pad_words rounded to a power of two, so at most
+    O(log max_len) distinct device shapes are compiled while bounding
+    padding waste to <2x.
+    """
+    order = np.argsort(-readset.length, kind="stable")
+    ids = (order + 1).astype(np.int32)
+    for i in range(0, len(ids), block_size):
+        chunk = ids[i : i + block_size]
+        wmax = n_words(int(readset.length[chunk - 1].max()))
+        yield chunk, _pow2_at_least(max(1, wmax))
+
+
+# ---- whole-readset counting -------------------------------------------------
+
+
+class DeviceKmerCounts:
+    """Sorted k-mers + run-length counts living on device.
+
+    The hot pipeline consumes these without a host roundtrip: the
+    histogram (small) drives threshold choice, and the frequent-mer table
+    (small) feeds MinHash down-weighting.  ``to_host()`` materializes the
+    full unique/count table for tools and tests.
+    """
+
+    def __init__(self, k: int, sorted_kmers: jax.Array, counts: jax.Array):
+        self.k = k
+        self.sorted_kmers = sorted_kmers
+        self.counts = counts
+
+    def histogram(self, max_count: int = 65535) -> np.ndarray:
+        return np.asarray(histogram_device(self.counts, max_count))
+
+    def n_distinct(self) -> int:
+        return int(jnp.sum(self.counts > 0))
+
+    def n_total(self) -> int:
+        return int(jnp.sum(self.counts))
+
+    def frequent(self, threshold: int, max_out: int = 1 << 20) -> "FrequentKmers":
+        km, ct, n_found = select_frequent_device(
+            self.sorted_kmers, self.counts, jnp.int32(threshold), max_out
+        )
+        n_found = int(n_found)
+        if n_found > max_out:
+            import warnings
+
+            warnings.warn(
+                f"frequent-kmer table truncated: {n_found} > max_out={max_out}"
+            )
+            n_found = max_out
+        km = np.asarray(km[:n_found])
+        ct = np.asarray(ct[:n_found])
+        total = self.n_total()
+        return FrequentKmers(
+            k=self.k,
+            kmers=km,
+            fraction=(ct / max(1, total)).astype(np.float32),
+            threshold=int(threshold),
+            total_kmers=total,
+        )
+
+    def to_host(self) -> "KmerCounts":
+        counts = np.asarray(self.counts)
+        kmers = np.asarray(self.sorted_kmers)
+        keep = counts > 0
+        return KmerCounts(self.k, kmers[keep], counts[keep].astype(np.int64))
+
+
+def count_readset_device(
+    readset: ReadSet, k: int = 16, block_size: int = 512
+) -> DeviceKmerCounts:
+    """Count canonical k-mers of a whole ReadSet with one device sort.
+
+    All per-block k-mer arrays are kept on device and concatenated
+    (padded to a power-of-two total so the sort compiles O(1) times per
+    process); nothing large crosses back to host.
+    """
+    parts = []
+    for ids, W in length_bucketed_blocks(readset, block_size):
+        words, lengths = readset.block_words(ids, W)
+        if len(ids) < block_size:  # pad rows so [B, W] shape is stable
+            pad = block_size - len(ids)
+            words = np.vstack([words, np.zeros((pad, W), np.uint32)])
+            lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
+        canon, _ = extract_kmers(jnp.asarray(words), jnp.asarray(lengths), k)
+        parts.append(canon.reshape(-1))
+    if not parts:
+        empty = jnp.full((1,), INVALID_KMER, jnp.uint32)
+        s, c = sort_count(empty)
+        return DeviceKmerCounts(k, s, c)
+    flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    n = flat.shape[0]
+    n_pad = _pow2_at_least(n)
+    if n_pad != n:
+        flat = jnp.concatenate([flat, jnp.full((n_pad - n,), INVALID_KMER, jnp.uint32)])
+    s, c = sort_count(flat)
+    return DeviceKmerCounts(k, s, c)
+
+
+@dataclass
+class KmerCounts:
+    """Host-side k-mer counts (sorted unique k-mers + counts)."""
+
+    k: int
+    unique: np.ndarray  # uint32, sorted
+    counts: np.ndarray  # int64
+
+    @property
+    def n_distinct(self) -> int:
+        return len(self.unique)
+
+    @property
+    def n_total(self) -> int:
+        return int(self.counts.sum())
+
+    def histogram(self, max_count: Optional[int] = None) -> np.ndarray:
+        """hist[c] = number of distinct k-mers occurring exactly c times."""
+        h = np.bincount(np.minimum(self.counts, max_count) if max_count else self.counts)
+        return h
+
+    def merge(self, other: "KmerCounts") -> "KmerCounts":
+        assert self.k == other.k
+        u = np.concatenate([self.unique, other.unique])
+        c = np.concatenate([self.counts, other.counts])
+        order = np.argsort(u, kind="stable")
+        u, c = u[order], c[order]
+        if len(u) == 0:
+            return KmerCounts(self.k, u, c)
+        starts = np.concatenate([[True], u[1:] != u[:-1]])
+        idx = np.cumsum(starts) - 1
+        out_c = np.zeros(int(starts.sum()), dtype=np.int64)
+        np.add.at(out_c, idx, c)
+        return KmerCounts(self.k, u[starts], out_c)
+
+
+def count_reads(
+    readset: ReadSet,
+    k: int = 16,
+    block_size: int = 512,
+    pad_words: Optional[int] = None,  # unused, kept for API stability
+) -> KmerCounts:
+    """Count canonical k-mers and return the host table (tools/tests).
+
+    The hot pipeline should use count_readset_device + DeviceKmerCounts
+    instead to avoid the large device-to-host fetch.
+    """
+    return count_readset_device(readset, k, block_size).to_host()
+
+
+# ---- thresholds / frequent-mer selection -----------------------------------
+
+
+def _threshold_from_histogram(hist: np.ndarray, n_distinct: int, fraction: float) -> int:
+    cum = np.cumsum(hist[1:])
+    target = fraction * n_distinct
+    c = int(np.searchsorted(cum, target)) + 1
+    return max(1, c)
+
+
+def threshold_from_distinct_fraction(kc, fraction: float) -> int:
+    """Smallest count c such that k-mers with count <= c cover `fraction`
+    of distinct k-mers.
+
+    Mirrors the reference's `*MerDistinct` threshold semantics
+    (/root/reference/src/pipelines/canu/Meryl.pm:585-611): the mhap ignore
+    set is "every k-mer more frequent than the distinct-fraction cutoff".
+    Accepts KmerCounts or DeviceKmerCounts.
+    """
+    if isinstance(kc, DeviceKmerCounts):
+        hist = kc.histogram()
+        nd = int(hist[1:].sum())
+    else:
+        if kc.n_distinct == 0:
+            return 1
+        hist = kc.histogram()
+        nd = kc.n_distinct
+    if nd == 0:
+        return 1
+    return _threshold_from_histogram(hist, nd, fraction)
+
+
+def estimate_coverage_threshold(kc, multiplier: float = 4.0) -> int:
+    """Valley/peak repeat threshold (estimate-mer-threshold equivalent).
+
+    Finds the error-kmer valley in the count histogram, the coverage peak
+    after it, and returns multiplier * peak as the repeat cutoff —
+    same shape of logic as
+    /root/reference/src/meryl/estimate-mer-threshold.C:43-67,284-290
+    (which scans for the histogram break after guessing X coverage).
+    """
+    hist = kc.histogram(100_000) if isinstance(kc, DeviceKmerCounts) else kc.histogram(max_count=100_000)
+    if len(hist) < 4:
+        return max(2, len(hist))
+    h = hist[1:]  # h[i] = #distinct with count i+1
+    valley = 0
+    for i in range(1, len(h) - 1):
+        if h[i] <= h[i - 1] and h[i] <= h[i + 1]:
+            valley = i
+            break
+    peak = valley + int(np.argmax(h[valley:])) if valley < len(h) else valley
+    thr = int(multiplier * (peak + 1))
+    return max(2, thr)
+
+
+@dataclass
+class FrequentKmers:
+    """Frequent k-mer table with tf fractions for MinHash down-weighting.
+
+    Equivalent of the mhap ignore file written by the reference
+    (/root/reference/src/pipelines/canu/Meryl.pm:648-720: k-mer +
+    fraction-of-total columns, consumed by MHAP's tf-idf filter).
+    """
+
+    k: int
+    kmers: np.ndarray  # uint32, sorted
+    fraction: np.ndarray  # float32 — count / total k-mers
+    threshold: int
+    total_kmers: int
+
+    @property
+    def n(self) -> int:
+        return len(self.kmers)
+
+
+def frequent_kmers(kc, threshold: Optional[int] = None, distinct_fraction: float = 0.9995) -> FrequentKmers:
+    """Frequent-mer table from KmerCounts or DeviceKmerCounts."""
+    if threshold is None:
+        threshold = threshold_from_distinct_fraction(kc, distinct_fraction)
+    if isinstance(kc, DeviceKmerCounts):
+        return kc.frequent(int(threshold))
+    mask = kc.counts > threshold
+    return FrequentKmers(
+        k=kc.k,
+        kmers=kc.unique[mask],
+        fraction=(kc.counts[mask] / max(1, kc.n_total)).astype(np.float32),
+        threshold=int(threshold),
+        total_kmers=kc.n_total,
+    )

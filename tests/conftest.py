@@ -8,10 +8,19 @@ xla_force_host_platform_device_count=8 CPU devices.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the harness env sets JAX_PLATFORMS=axon (real TPU tunnel) AND its
+# sitecustomize calls jax.config.update("jax_platforms", "axon,cpu") at
+# interpreter startup, which overrides the env var — so we must override the
+# config again after importing jax, before any backend is initialized.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 # Make the repo root importable regardless of pytest rootdir config.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
