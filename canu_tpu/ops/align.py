@@ -1,0 +1,464 @@
+"""Banded seed-and-extend overlap verification (overlapInCore equivalent).
+
+Replaces the reference's prefix edit distance extension
+(/root/reference/src/overlapInCore/liboverlap/prefixEditDistance.H:69-115,
+Extend_Alignment forward/reverse from a seed) and the edlib re-alignment
+pass (/root/reference/src/overlapInCore/overlapPair.C:277-338) with one
+TPU-native design:
+
+  1. anchors: exact shared k-mers between the oriented pair, diagonal
+     filtered and monotonized — recomputed on device from the packed
+     reads (cheap) rather than stored;
+  2. seed: the middle anchor;
+  3. extension: batched banded semi-global DP from the seed toward both
+     read ends, with the band CENTER following the anchor chain
+     (piecewise-linear interpolation, slope-1 extrapolation past the last
+     anchor) so a narrow band tracks indel drift over arbitrarily long
+     reads;
+  4. the within-row horizontal dependency of the DP is solved in closed
+     form: dp[w] = min_{w'<=w}(m[w'] + (w-w')) = cummin(m[w]-w) + w — a
+     vectorized associative scan, no sequential inner loop.
+
+The DP runs until BOTH directions exhaust one of the two reads, i.e. the
+maximal dovetail/containment overlap, yielding precise hangs + edit
+count (-> erate), the contract of the reference ovOverlap
+(/root/reference/src/stores/ovOverlap.H:101-125,227-292).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..stores.readset import ReadSet
+from ..utils.bitpack import n_words
+from .kmer import INVALID_KMER, extract_kmers, unpack_bases
+from .minhash import OverlapCandidates
+
+INF = jnp.int32(1 << 28)
+MAX_ANCHORS = 64
+
+
+# ---- sequence preparation ---------------------------------------------------
+
+
+@jax.jit
+def orient_bases(bases: jax.Array, lengths: jax.Array, flipped: jax.Array) -> jax.Array:
+    """Reverse-complement rows where flipped, respecting ragged lengths.
+
+    bases uint8[B, L] zero-padded; the rc of row b occupies positions
+    0..len-1 again (gather with reversed, clamped indices).
+    """
+    B, L = bases.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    rev_idx = jnp.clip(lengths[:, None] - 1 - pos, 0, L - 1)
+    rc = 3 - jnp.take_along_axis(bases, rev_idx, axis=1)
+    rc = jnp.where(pos < lengths[:, None], rc, 0)
+    return jnp.where(flipped[:, None], rc, bases)
+
+
+def _subseq(bases: jax.Array, start: jax.Array, out_len: int) -> jax.Array:
+    """bases[b, start[b] : start[b]+out_len] with clamping (device)."""
+    B, L = bases.shape
+    pos = jnp.arange(out_len, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(start[:, None] + pos, 0, L - 1)
+    return jnp.take_along_axis(bases, idx, axis=1)
+
+
+def _rev_subseq(bases: jax.Array, end: jax.Array, out_len: int) -> jax.Array:
+    """bases[b, end[b]-1 : end[b]-1-out_len : -1] reversed prefix ending at end."""
+    B, L = bases.shape
+    pos = jnp.arange(out_len, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(end[:, None] - 1 - pos, 0, L - 1)
+    return jnp.take_along_axis(bases, idx, axis=1)
+
+
+# ---- banded extension DP ----------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("band", "n_rows"))
+def banded_extend(
+    a: jax.Array,  # uint8[B, LA] (already shifted: row 0 = first char to align)
+    a_len: jax.Array,  # int32[B] chars of A to consume (<= LA)
+    b: jax.Array,  # uint8[B, LB]
+    b_len: jax.Array,  # int32[B]
+    centers: jax.Array,  # int32[B, n_rows+1] expected j for each row i
+    band: int,
+    n_rows: int,
+):
+    """Semi-global banded extension from (0, 0).
+
+    Aligns A[0:a_len] against a prefix of B (A exhausted), or a prefix of
+    A against all of B[0:b_len] (B exhausted), whichever costs fewer
+    edits — i.e. extend-to-end-of-either-read, the overlap extension
+    semantics of the reference's Extend_Alignment.
+
+    Returns (edits, a_used, b_used) int32[B].
+    """
+    B = a.shape[0]
+    w_ramp = jnp.arange(band, dtype=jnp.int32)[None, :]  # [1, W]
+
+    # band start per row: centered, clamped into [0, b_len], monotonic
+    o_all = jnp.clip(centers - band // 2, 0, jnp.maximum(b_len, 0)[:, None])
+    o_all = jax.lax.associative_scan(jnp.maximum, o_all, axis=1)
+
+    # row 0: D(0, j) = j for j in band (o(0) == 0 since centers[:,0]==0)
+    D0 = o_all[:, 0:1] + w_ramp
+    j0 = o_all[:, 0:1] + w_ramp
+    D0 = jnp.where(j0 <= b_len[:, None], D0, INF)
+
+    def row_step(carry, i):
+        D_prev, best_bx, aend_bx, bend_bx, Dfin, ofin = carry
+        o_i = jax.lax.dynamic_slice_in_dim(o_all, i, 1, axis=1)[:, 0]  # [B]
+        o_im1 = jax.lax.dynamic_slice_in_dim(o_all, i - 1, 1, axis=1)[:, 0]
+        s = o_i - o_im1  # [B] >= 0
+        # gather D_prev at w+s and w+s-1
+        idx_up = w_ramp + s[:, None]
+        idx_dg = idx_up - 1
+        up = jnp.where(
+            (idx_up >= 0) & (idx_up < band),
+            jnp.take_along_axis(D_prev, jnp.clip(idx_up, 0, band - 1), axis=1),
+            INF,
+        )
+        dg = jnp.where(
+            (idx_dg >= 0) & (idx_dg < band),
+            jnp.take_along_axis(D_prev, jnp.clip(idx_dg, 0, band - 1), axis=1),
+            INF,
+        )
+        a_chr = jax.lax.dynamic_slice_in_dim(a, i - 1, 1, axis=1)  # [B,1]
+        j = o_i[:, None] + w_ramp  # [B, W] column index of each cell
+        b_idx = jnp.clip(j - 1, 0, b.shape[1] - 1)
+        b_chr = jnp.take_along_axis(b, b_idx, axis=1)
+        sub = (a_chr != b_chr).astype(jnp.int32)
+        valid_dg = (j >= 1) & (j <= b_len[:, None])
+        m = jnp.minimum(up + 1, jnp.where(valid_dg, dg + sub, INF))
+        # horizontal closure: D[w] = min_{w'<=w} m[w'] + (w - w')
+        r = jnp.minimum(m - w_ramp, INF)
+        r = jax.lax.associative_scan(jnp.minimum, r, axis=1)
+        D = r + w_ramp
+        D = jnp.where(j <= b_len[:, None], D, INF)
+        row_live = (i <= a_len)[:, None]
+        D = jnp.where(row_live, D, INF)
+
+        # capture "B exhausted at this row": column j == b_len in band
+        w_col = b_len - o_i
+        in_band = (w_col >= 0) & (w_col < band) & (i <= a_len)
+        cost_col = jnp.where(
+            in_band,
+            jnp.take_along_axis(D, jnp.clip(w_col, 0, band - 1)[:, None], axis=1)[:, 0],
+            INF,
+        )
+        better = cost_col < best_bx
+        best_bx = jnp.where(better, cost_col, best_bx)
+        aend_bx = jnp.where(better, i, aend_bx)
+        bend_bx = jnp.where(better, b_len, bend_bx)
+
+        # capture final row (i == a_len): A exhausted
+        at_fin = (i == a_len)[:, None]
+        Dfin = jnp.where(at_fin, D, Dfin)
+        ofin = jnp.where(i == a_len, o_i, ofin)
+
+        return (D, best_bx, aend_bx, bend_bx, Dfin, ofin), None
+
+    # also consider the degenerate "B exhausted at row 0" (b_len inside row-0 band)
+    w_col0 = b_len - o_all[:, 0]
+    in0 = (w_col0 >= 0) & (w_col0 < band)
+    best_bx0 = jnp.where(in0, jnp.take_along_axis(D0, jnp.clip(w_col0, 0, band - 1)[:, None], axis=1)[:, 0], INF)
+    # and "A exhausted at row 0" (a_len == 0)
+    Dfin0 = jnp.where((a_len == 0)[:, None], D0, INF)
+    ofin0 = jnp.where(a_len == 0, o_all[:, 0], 0)
+
+    carry = (
+        D0,
+        best_bx0,
+        jnp.zeros(B, jnp.int32),
+        jnp.where(in0, b_len, 0),
+        Dfin0,
+        ofin0,
+    )
+    (D, best_bx, aend_bx, bend_bx, Dfin, ofin), _ = jax.lax.scan(
+        row_step, carry, jnp.arange(1, n_rows + 1, dtype=jnp.int32)
+    )
+
+    # A-exhausted result: best cell of the captured final row
+    wbest = jnp.argmin(Dfin, axis=1).astype(jnp.int32)
+    cost_ax = jnp.take_along_axis(Dfin, wbest[:, None], axis=1)[:, 0]
+    bend_ax = ofin + wbest
+
+    use_ax = cost_ax <= best_bx
+    edits = jnp.where(use_ax, cost_ax, best_bx)
+    a_used = jnp.where(use_ax, a_len, aend_bx)
+    b_used = jnp.where(use_ax, bend_ax, bend_bx)
+    return edits, a_used, b_used
+
+
+# ---- anchor computation -----------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _anchor_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int):
+    """Monotonic shared-kmer anchors for oriented pairs.
+
+    Returns (anchorsA int32[B, M], anchorsB int32[B, M], n_anchor int32[B])
+    positions in A / oriented-B coordinates, padded with -1, M=MAX_ANCHORS.
+    """
+    canonA, strandA = extract_kmers(wordsA, lenA, k)
+    basesB = orient_bases(unpack_bases(wordsB), lenB, flipped)
+    # re-pack is unnecessary: extract from oriented bases directly
+    B_, L = basesB.shape
+    P = L - k + 1
+    fwB = jnp.zeros((B_, P), dtype=jnp.uint32)
+    for j in range(k):
+        fwB = (fwB << 2) | basesB[:, j : j + P].astype(jnp.uint32)
+    from .kmer import revcomp_kmer
+
+    rcB = revcomp_kmer(fwB, k)
+    canonB = jnp.minimum(fwB, rcB)
+    strandB = rcB < fwB
+    posP = jnp.arange(P, dtype=jnp.int32)[None, :]
+    validB = posP <= (lenB[:, None] - k)
+    canonB = jnp.where(validB, canonB, INVALID_KMER)
+
+    # sort A kmers, search B kmers in them
+    order = jnp.argsort(canonA, axis=1)
+    sortedA = jnp.take_along_axis(canonA, order, axis=1)
+    posA_s = jnp.take_along_axis(jnp.broadcast_to(posP, canonA.shape).astype(jnp.int32), order, axis=1)
+    strA_s = jnp.take_along_axis(strandA, order, axis=1)
+    idx = jax.vmap(lambda aa, v: jnp.searchsorted(aa, v))(sortedA, canonB)
+    idx = jnp.minimum(idx, canonA.shape[1] - 1)
+    hit = (jnp.take_along_axis(sortedA, idx, axis=1) == canonB) & (canonB != INVALID_KMER)
+    posA_m = jnp.take_along_axis(posA_s, idx, axis=1)
+    strA_m = jnp.take_along_axis(strA_s, idx, axis=1)
+    # oriented B: a true match has equal forward kmers <=> equal strand flags
+    hit = hit & (strA_m == strandB)
+
+    diag = posA_m - posP
+    BIG = jnp.int32(2**30)
+    masked = jnp.where(hit, diag, BIG)
+    srt = jnp.sort(masked, axis=1)
+    n_hit = jnp.sum(hit.astype(jnp.int32), axis=1)
+    med = jnp.take_along_axis(srt, (jnp.maximum(n_hit - 1, 0) // 2)[:, None], axis=1)[:, 0]
+    min_len = jnp.minimum(lenA, lenB)
+    tol = jnp.maximum(100, (min_len * 0.30).astype(jnp.int32))
+    inl = hit & (jnp.abs(diag - med[:, None]) <= tol[:, None])
+
+    # monotonize: keep matches whose posA strictly exceeds every previous
+    # kept match's posA (posB = column index is already increasing)
+    pa = jnp.where(inl, posA_m, -1)
+    cm = jax.lax.associative_scan(jnp.maximum, pa, axis=1)
+    cm_prev = jnp.concatenate([jnp.full((B_, 1), -1, jnp.int32), cm[:, :-1]], axis=1)
+    keep = inl & (posA_m > cm_prev)
+
+    n_keep = jnp.sum(keep.astype(jnp.int32), axis=1)
+    kidx = jnp.where(keep, posP, P)  # position index in B == column
+    kidx_sorted = jnp.sort(kidx, axis=1)  # kept columns first
+    # evenly subsample MAX_ANCHORS of the kept matches
+    m_ramp = jnp.arange(MAX_ANCHORS, dtype=jnp.int32)[None, :]
+    denom = jnp.maximum(n_keep - 1, 1)[:, None]
+    pick = (m_ramp * denom) // (MAX_ANCHORS - 1)
+    pick = jnp.minimum(pick, jnp.maximum(n_keep[:, None] - 1, 0))
+    cols = jnp.take_along_axis(kidx_sorted, pick, axis=1)
+    valid_a = (m_ramp < jnp.minimum(n_keep, MAX_ANCHORS * 1000)[:, None]) & (cols < P)
+    cols_c = jnp.clip(cols, 0, P - 1)
+    aA = jnp.where(valid_a, jnp.take_along_axis(posA_m, cols_c, axis=1), -1)
+    aB = jnp.where(valid_a, cols_c, -1)
+    # dedupe picks (same anchor repeated when n_keep < MAX_ANCHORS)
+    dup = jnp.concatenate([jnp.zeros((B_, 1), bool), aB[:, 1:] == aB[:, :-1]], axis=1)
+    aA = jnp.where(dup, -1, aA)
+    aB = jnp.where(dup, -1, aB)
+    n_anchor = jnp.sum((aA >= 0).astype(jnp.int32), axis=1)
+    return aA, aB, n_anchor
+
+
+def _interp_centers(sub_xa, sub_xb, n_sub, n_rows):
+    """Piecewise-linear band centers c(i) for rows 0..n_rows from anchor
+    points (sub_xa -> sub_xb), slope-1 extrapolation past the last anchor.
+
+    sub_xa/sub_xb int32[B, M] padded with big values; first point must be
+    (0, 0) (the seed).
+    """
+    x = jnp.arange(n_rows + 1, dtype=jnp.int32)[None, :].astype(jnp.float32)
+    xa = sub_xa.astype(jnp.float32)
+    xb = sub_xb.astype(jnp.float32)
+    c = jax.vmap(jnp.interp)(jnp.broadcast_to(x, (sub_xa.shape[0], n_rows + 1)), xa, xb)
+    return jnp.round(c).astype(jnp.int32)
+
+
+# ---- overlap verification ---------------------------------------------------
+
+
+@dataclass
+class OverlapTable:
+    """Verified overlaps (host columnar arrays, canu ovOverlap semantics).
+
+    a_bgn/a_end: overlap extent on A (forward coords).
+    b_bgn/b_end: extent on B in FORWARD-B coords (b_bgn < b_end always);
+    `flipped` says B was reverse-complemented, matching the reference's
+    normalized hang encoding (/root/reference/src/stores/ovOverlap.H).
+    erate_q: edit rate in 0.01% fixed-point steps (ovOverlap.H:35-45).
+    """
+
+    a_id: np.ndarray
+    b_id: np.ndarray
+    flipped: np.ndarray
+    a_bgn: np.ndarray
+    a_end: np.ndarray
+    b_bgn: np.ndarray
+    b_end: np.ndarray
+    erate_q: np.ndarray  # uint16
+
+    def __len__(self):
+        return len(self.a_id)
+
+    @property
+    def erate(self) -> np.ndarray:
+        return self.erate_q.astype(np.float32) / 10000.0
+
+
+@partial(jax.jit, static_argnames=("k", "band", "n_rows"))
+def _verify_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_rows: int):
+    """Anchor + bidirectional banded extension for one chunk of pairs."""
+    aA, aB, n_anchor = _anchor_kernel(wordsA, lenA, wordsB, lenB, flipped, k)
+    basesA = unpack_bases(wordsA)
+    basesB = orient_bases(unpack_bases(wordsB), lenB, flipped)
+
+    Bn = wordsA.shape[0]
+    m_ramp = jnp.arange(MAX_ANCHORS, dtype=jnp.int32)[None, :]
+    seed_m = jnp.maximum(n_anchor - 1, 0) // 2
+    seedA = jnp.take_along_axis(aA, seed_m[:, None], axis=1)[:, 0]
+    seedB = jnp.take_along_axis(aB, seed_m[:, None], axis=1)[:, 0]
+    seedA = jnp.maximum(seedA, 0)
+    seedB = jnp.maximum(seedB, 0)
+
+    BIGF = jnp.int32(1 << 24)
+
+    # forward: anchors at indices >= seed_m, coords relative to seed
+    idx_f = jnp.minimum(seed_m[:, None] + m_ramp, MAX_ANCHORS - 1)
+    fa = jnp.take_along_axis(aA, idx_f, axis=1) - seedA[:, None]
+    fb = jnp.take_along_axis(aB, idx_f, axis=1) - seedB[:, None]
+    valid_f = (seed_m[:, None] + m_ramp < n_anchor[:, None]) & (fa >= 0)
+    # padding: continue slope 1 beyond last anchor
+    fa = jnp.where(valid_f, fa, BIGF + m_ramp)
+    fb = jnp.where(valid_f, fb, BIGF + m_ramp)
+    cen_f = _interp_centers(fa, fb, None, n_rows)
+    a_f = _subseq(basesA, seedA, n_rows)
+    b_f = _subseq(basesB, seedB, n_rows + band)
+    e_f, au_f, bu_f = banded_extend(
+        a_f, lenA - seedA, b_f, lenB - seedB, cen_f, band, n_rows
+    )
+
+    # backward: anchors at indices <= seed_m in reverse order
+    idx_b = jnp.maximum(seed_m[:, None] - m_ramp, 0)
+    ba = seedA[:, None] - jnp.take_along_axis(aA, idx_b, axis=1)
+    bb = seedB[:, None] - jnp.take_along_axis(aB, idx_b, axis=1)
+    valid_b = (m_ramp <= seed_m[:, None]) & (jnp.take_along_axis(aA, idx_b, axis=1) >= 0)
+    ba = jnp.where(valid_b, ba, BIGF + m_ramp)
+    bb = jnp.where(valid_b, bb, BIGF + m_ramp)
+    cen_b = _interp_centers(ba, bb, None, n_rows)
+    a_b = _rev_subseq(basesA, seedA, n_rows)
+    b_b = _rev_subseq(basesB, seedB, n_rows + band)
+    e_b, au_b, bu_b = banded_extend(a_b, seedA, b_b, seedB, cen_b, band, n_rows)
+
+    edits = e_f + e_b
+    a_bgn = seedA - au_b
+    a_end = seedA + au_f
+    b_bgn_o = seedB - bu_b  # oriented-B coords
+    b_end_o = seedB + bu_f
+    span = ((a_end - a_bgn) + (b_end_o - b_bgn_o)) / 2.0
+    erate = jnp.where(span > 0, edits / jnp.maximum(span, 1.0), 1.0)
+    ok = (n_anchor > 0) & (span > 0) & (edits < INF)
+    return ok, a_bgn, a_end, b_bgn_o, b_end_o, edits, erate
+
+
+def verify_overlaps(
+    readset: ReadSet,
+    cand: OverlapCandidates,
+    k: int = 16,
+    band: int = 128,
+    max_erate: float = 0.32,
+    min_overlap: int = 500,
+    chunk: int = 128,
+) -> OverlapTable:
+    """Verify candidates with the banded extension; returns OverlapTable.
+
+    max_erate/min_overlap mirror the reference's ovlErrorRate /
+    minOverlapLength gates (/root/reference/src/pipelines/canu/Defaults.pm).
+    """
+    cols: dict[str, list] = {n: [] for n in (
+        "a_id", "b_id", "flipped", "a_bgn", "a_end", "b_bgn", "b_end", "erate_q")}
+    M = len(cand)
+    # ONE shape for the whole call: compiles are expensive (remote-compiled
+    # on the axon tunnel), so bucket n_rows by the global longest read.
+    if M:
+        gmax = int(
+            max(
+                readset.length[cand.a_id.astype(np.int64) - 1].max(),
+                readset.length[cand.b_id.astype(np.int64) - 1].max(),
+            )
+        )
+    else:
+        gmax = 1
+    W = 1 << max(0, int(n_words(gmax) - 1).bit_length())
+    n_rows = W * 16
+    for s in range(0, M, chunk):
+        sl = slice(s, min(s + chunk, M))
+        a_ids = cand.a_id[sl].astype(np.int64)
+        b_ids = cand.b_id[sl].astype(np.int64)
+        C = len(a_ids)
+        wa, la = readset.block_words(a_ids, W)
+        wb, lb = readset.block_words(b_ids, W)
+        fl = cand.flipped[sl]
+        if C < chunk:
+            pad = chunk - C
+            wa = np.vstack([wa, np.zeros((pad, W), np.uint32)])
+            wb = np.vstack([wb, np.zeros((pad, W), np.uint32)])
+            la = np.concatenate([la, np.zeros(pad, np.int32)])
+            lb = np.concatenate([lb, np.zeros(pad, np.int32)])
+            fl = np.concatenate([fl, np.zeros(pad, bool)])
+        ok, a_bgn, a_end, b_bgn_o, b_end_o, edits, erate = _verify_kernel(
+            jnp.asarray(wa), jnp.asarray(la), jnp.asarray(wb), jnp.asarray(lb),
+            jnp.asarray(fl), k, band, n_rows,
+        )
+        ok = np.asarray(ok[:C])
+        a_bgn = np.asarray(a_bgn[:C])
+        a_end = np.asarray(a_end[:C])
+        b_bgn_o = np.asarray(b_bgn_o[:C])
+        b_end_o = np.asarray(b_end_o[:C])
+        erate = np.asarray(erate[:C])
+        flc = cand.flipped[sl]
+        lbv = readset.length[b_ids - 1]
+        # oriented -> forward-B coords
+        b_bgn_f = np.where(flc, lbv - b_end_o, b_bgn_o)
+        b_end_f = np.where(flc, lbv - b_bgn_o, b_end_o)
+        span = np.minimum(a_end - a_bgn, b_end_f - b_bgn_f)
+        keep = ok & (erate <= max_erate) & (span >= min_overlap)
+        cols["a_id"].append(a_ids[keep].astype(np.int32))
+        cols["b_id"].append(b_ids[keep].astype(np.int32))
+        cols["flipped"].append(flc[keep])
+        cols["a_bgn"].append(a_bgn[keep].astype(np.int32))
+        cols["a_end"].append(a_end[keep].astype(np.int32))
+        cols["b_bgn"].append(b_bgn_f[keep].astype(np.int32))
+        cols["b_end"].append(b_end_f[keep].astype(np.int32))
+        cols["erate_q"].append(
+            np.minimum(np.round(erate[keep] * 10000), 65535).astype(np.uint16)
+        )
+
+    def cat(name, dtype):
+        arrs = cols[name]
+        return np.concatenate(arrs).astype(dtype) if arrs else np.zeros(0, dtype)
+
+    return OverlapTable(
+        a_id=cat("a_id", np.int32),
+        b_id=cat("b_id", np.int32),
+        flipped=cat("flipped", bool),
+        a_bgn=cat("a_bgn", np.int32),
+        a_end=cat("a_end", np.int32),
+        b_bgn=cat("b_bgn", np.int32),
+        b_end=cat("b_end", np.int32),
+        erate_q=cat("erate_q", np.uint16),
+    )
