@@ -1,0 +1,137 @@
+"""OverlapStore — sorted, per-read-indexed overlap database (ovStore equivalent).
+
+Replaces the reference ovStore
+(/root/reference/src/stores/ovStore.{C,H}: sharded files sorted by
+(a_iid, b_iid), per-read offset index `ovStoreOfft`, updatable `evalues`
+sidecar) with columnar numpy arrays:
+
+  * every overlap is stored TWICE (A->B and B->A), the reference's
+    symmetric storage invariant (/root/reference/src/stores/ovStore.H
+    "Overlaps stored twice");
+  * rows sorted by (a_id, b_id); `index[r]:index[r+1]` slices read r's
+    overlaps, replacing ovStoreOfft;
+  * coordinates are spans on each read in ITS OWN forward orientation
+    plus a `flipped` flag — equivalent information to the reference's
+    strand-normalized hangs (/root/reference/src/stores/ovOverlap.H:227-292);
+  * erate_q is 0.01%-step fixed point (ovOverlap.H:35-45), replaceable in
+    bulk by overlap error adjustment (update_erates == installing the
+    `evalues` sidecar, /root/reference/src/overlapErrorAdjustment/
+    correctOverlaps.C:210-215).
+
+The reference's distributed bucketize/sort/index build
+(ovStoreBucketizer/Sorter/Indexer) collapses to one in-memory lexsort
+here; the multi-host path shards rows by a_id range instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..ops.align import OverlapTable
+
+_COLS = ("a_id", "b_id", "flipped", "a_bgn", "a_end", "b_bgn", "b_end", "erate_q")
+
+
+class OverlapStore:
+    def __init__(self, n_reads: int, **cols: np.ndarray):
+        self.n_reads = n_reads
+        for c in _COLS:
+            setattr(self, c, cols[c])
+        self._build_index()
+
+    def _build_index(self) -> None:
+        # index[r] = first row with a_id == r; rows sorted by (a_id, b_id)
+        self.index = np.zeros(self.n_reads + 2, dtype=np.int64)
+        counts = np.bincount(self.a_id, minlength=self.n_reads + 1)
+        np.cumsum(counts, out=self.index[1 : len(counts) + 1])
+        self.index[len(counts) + 1 :] = self.index[len(counts)]
+
+    # ---- construction ----
+
+    @classmethod
+    def build(cls, table: OverlapTable, n_reads: int) -> "OverlapStore":
+        """Symmetrize + sort an OverlapTable (A->B rows only) into a store."""
+        a_id = np.concatenate([table.a_id, table.b_id])
+        b_id = np.concatenate([table.b_id, table.a_id])
+        flipped = np.concatenate([table.flipped, table.flipped])
+        a_bgn = np.concatenate([table.a_bgn, table.b_bgn])
+        a_end = np.concatenate([table.a_end, table.b_end])
+        b_bgn = np.concatenate([table.b_bgn, table.a_bgn])
+        b_end = np.concatenate([table.b_end, table.a_end])
+        erate_q = np.concatenate([table.erate_q, table.erate_q])
+        order = np.lexsort((b_id, a_id))
+        return cls(
+            n_reads,
+            a_id=a_id[order].astype(np.int32),
+            b_id=b_id[order].astype(np.int32),
+            flipped=flipped[order],
+            a_bgn=a_bgn[order].astype(np.int32),
+            a_end=a_end[order].astype(np.int32),
+            b_bgn=b_bgn[order].astype(np.int32),
+            b_end=b_end[order].astype(np.int32),
+            erate_q=erate_q[order].astype(np.uint16),
+        )
+
+    # ---- access ----
+
+    def __len__(self) -> int:
+        return len(self.a_id)
+
+    @property
+    def n_overlaps(self) -> int:
+        """Distinct overlaps (each stored twice)."""
+        return len(self.a_id) // 2
+
+    @property
+    def erate(self) -> np.ndarray:
+        return self.erate_q.astype(np.float32) / 10000.0
+
+    def row_range(self, read_id: int) -> tuple[int, int]:
+        return int(self.index[read_id]), int(self.index[read_id + 1])
+
+    def overlaps_for(self, read_id: int) -> dict[str, np.ndarray]:
+        s, e = self.row_range(read_id)
+        return {c: getattr(self, c)[s:e] for c in _COLS}
+
+    def n_overlaps_per_read(self) -> np.ndarray:
+        return np.diff(self.index[1 : self.n_reads + 2]).astype(np.int64)
+
+    def erate_histogram(self, bins: int = 100, max_erate: float = 0.5) -> np.ndarray:
+        """ovStoreHistogram equivalent."""
+        h, _ = np.histogram(self.erate, bins=bins, range=(0, max_erate))
+        return h
+
+    # ---- mutation ----
+
+    def update_erates(self, new_erate_q: np.ndarray) -> None:
+        """Install adjusted evalues (OEA sidecar contract)."""
+        assert len(new_erate_q) == len(self.erate_q)
+        self.erate_q = new_erate_q.astype(np.uint16)
+
+    # ---- persistence ----
+
+    def save(self, path: str | os.PathLike) -> None:
+        path = os.fspath(path)
+        tmp = path + ".WORKING"
+        os.makedirs(tmp, exist_ok=True)
+        np.savez(os.path.join(tmp, "overlaps.npz"), **{c: getattr(self, c) for c in _COLS})
+        with open(os.path.join(tmp, "meta.json"), "w") as fh:
+            json.dump({"version": 1, "n_reads": self.n_reads, "rows": len(self)}, fh)
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    @classmethod
+    def load(cls, path: str | os.PathLike) -> "OverlapStore":
+        path = os.fspath(path)
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        with np.load(os.path.join(path, "overlaps.npz")) as z:
+            cols = {c: z[c] for c in _COLS}
+        return cls(meta["n_reads"], **cols)
