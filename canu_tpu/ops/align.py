@@ -44,6 +44,15 @@ INF = jnp.int32(1 << 28)
 MAX_ANCHORS = 64
 
 
+def _on_tpu() -> bool:
+    """True when the default backend is a TPU (incl. the axon tunnel)."""
+    try:
+        plat = jax.devices()[0].platform.lower()
+    except Exception:
+        return False
+    return plat in ("tpu", "axon")
+
+
 # ---- sequence preparation ---------------------------------------------------
 
 
@@ -103,9 +112,14 @@ def banded_extend(
     B = a.shape[0]
     w_ramp = jnp.arange(band, dtype=jnp.int32)[None, :]  # [1, W]
 
-    # band start per row: centered, clamped into [0, b_len], monotonic
+    # band start per row: centered, clamped into [0, b_len], monotonic,
+    # slope-clamped to SMAX/row (identical schedule to the Pallas kernel)
+    SMAX = 8
     o_all = jnp.clip(centers - band // 2, 0, jnp.maximum(b_len, 0)[:, None])
     o_all = jax.lax.associative_scan(jnp.maximum, o_all, axis=1)
+    # o'_i = min(o_i, o'_{i-1} + SMAX)  ==  SMAX*i + cummin(o_j - SMAX*j)
+    ramp = SMAX * jnp.arange(o_all.shape[1], dtype=jnp.int32)[None, :]
+    o_all = jax.lax.associative_scan(jnp.minimum, o_all - ramp, axis=1) + ramp
 
     # row 0: D(0, j) = j for j in band (o(0) == 0 since centers[:,0]==0)
     D0 = o_all[:, 0:1] + w_ramp
@@ -320,9 +334,15 @@ class OverlapTable:
         return self.erate_q.astype(np.float32) / 10000.0
 
 
-@partial(jax.jit, static_argnames=("k", "band", "n_rows"))
-def _verify_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_rows: int):
+@partial(jax.jit, static_argnames=("k", "band", "n_rows", "use_pallas"))
+def _verify_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_rows: int,
+                   use_pallas: bool = False):
     """Anchor + bidirectional banded extension for one chunk of pairs."""
+    extend = banded_extend
+    if use_pallas:
+        from .pallas.extend import banded_extend_pallas
+
+        extend = partial(banded_extend_pallas, interpret=False)
     aA, aB, n_anchor = _anchor_kernel(wordsA, lenA, wordsB, lenB, flipped, k)
     basesA = unpack_bases(wordsA)
     basesB = orient_bases(unpack_bases(wordsB), lenB, flipped)
@@ -348,9 +368,7 @@ def _verify_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_row
     cen_f = _interp_centers(fa, fb, None, n_rows)
     a_f = _subseq(basesA, seedA, n_rows)
     b_f = _subseq(basesB, seedB, n_rows + band)
-    e_f, au_f, bu_f = banded_extend(
-        a_f, lenA - seedA, b_f, lenB - seedB, cen_f, band, n_rows
-    )
+    e_f, au_f, bu_f = extend(a_f, lenA - seedA, b_f, lenB - seedB, cen_f, band, n_rows)
 
     # backward: anchors at indices <= seed_m in reverse order
     idx_b = jnp.maximum(seed_m[:, None] - m_ramp, 0)
@@ -362,7 +380,7 @@ def _verify_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_row
     cen_b = _interp_centers(ba, bb, None, n_rows)
     a_b = _rev_subseq(basesA, seedA, n_rows)
     b_b = _rev_subseq(basesB, seedB, n_rows + band)
-    e_b, au_b, bu_b = banded_extend(a_b, seedA, b_b, seedB, cen_b, band, n_rows)
+    e_b, au_b, bu_b = extend(a_b, seedA, b_b, seedB, cen_b, band, n_rows)
 
     edits = e_f + e_b
     a_bgn = seedA - au_b
@@ -383,12 +401,16 @@ def verify_overlaps(
     max_erate: float = 0.32,
     min_overlap: int = 500,
     chunk: int = 128,
+    use_pallas: Optional[bool] = None,
 ) -> OverlapTable:
     """Verify candidates with the banded extension; returns OverlapTable.
 
     max_erate/min_overlap mirror the reference's ovlErrorRate /
     minOverlapLength gates (/root/reference/src/pipelines/canu/Defaults.pm).
+    use_pallas: None = auto (Pallas kernel on TPU, XLA scan elsewhere).
     """
+    if use_pallas is None:
+        use_pallas = _on_tpu()
     cols: dict[str, list] = {n: [] for n in (
         "a_id", "b_id", "flipped", "a_bgn", "a_end", "b_bgn", "b_end", "erate_q")}
     M = len(cand)
@@ -422,7 +444,7 @@ def verify_overlaps(
             fl = np.concatenate([fl, np.zeros(pad, bool)])
         ok, a_bgn, a_end, b_bgn_o, b_end_o, edits, erate = _verify_kernel(
             jnp.asarray(wa), jnp.asarray(la), jnp.asarray(wb), jnp.asarray(lb),
-            jnp.asarray(fl), k, band, n_rows,
+            jnp.asarray(fl), k, band, n_rows, use_pallas,
         )
         ok = np.asarray(ok[:C])
         a_bgn = np.asarray(a_bgn[:C])
