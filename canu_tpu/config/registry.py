@@ -1,0 +1,213 @@
+"""Typed parameter registry (Defaults.pm equivalent).
+
+Mirrors the reference's flag system semantics
+(/root/reference/src/pipelines/canu/Defaults.pm):
+
+  * lowercase-normalized key lookup with registered synopses
+    (Defaults.pm:93 setGlobal / :727 setDefaults);
+  * tag specialization: setting `ovlMerSize` fans out to
+    {cor,obt,utg}OvlMerSize unless the specialized key was set explicitly
+    (Defaults.pm:109-164);
+  * meta parameters: `rawErrorRate` / `correctedErrorRate` set whole
+    groups (Defaults.pm:168-181);
+  * unknown keys are hard errors (Defaults.pm:192);
+  * sources in priority order: built-in defaults -> spec files (-s) ->
+    key=value CLI (Defaults.pm:526-633);
+  * `print_options()` dumps the registry (-options, Defaults.pm:327-348);
+  * sizes accept units: 4.6m, 12k, 1.2g (Configure.pm:460-512).
+
+TPU-specific parameters (band widths, hash counts) follow the same
+naming conventions; the reference's per-stage memory/thread knobs are
+accepted but advisory (resource solving is XLA's job here).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+
+class ConfigError(ValueError):
+    pass
+
+
+_TAGS = ("cor", "obt", "utg")
+
+
+def parse_size(v: str | int | float) -> float:
+    """'4.6m' -> 4.6e6 etc. (k/m/g/t suffixes, case-insensitive)."""
+    if isinstance(v, (int, float)):
+        return float(v)
+    m = re.fullmatch(r"\s*([\d.]+)\s*([kmgtKMGT]?)\s*", str(v))
+    if not m:
+        raise ConfigError(f"cannot parse size {v!r}")
+    mult = {"": 1, "k": 1e3, "m": 1e6, "g": 1e9, "t": 1e12}[m.group(2).lower()]
+    return float(m.group(1)) * mult
+
+
+@dataclass
+class Param:
+    key: str
+    default: Any
+    type: Callable[[Any], Any]
+    synopsis: str
+    tag_base: Optional[str] = None  # for corX/obtX/utgX: the base name X
+
+
+def _bool(v: Any) -> bool:
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("1", "true", "yes", "on")
+
+
+class Config:
+    def __init__(self) -> None:
+        self.registry: dict[str, Param] = {}  # lowercase key -> Param
+        self.values: dict[str, Any] = {}
+        self.explicit: set[str] = set()
+        self._register_all()
+
+    # ---- registration ----
+
+    def _reg(self, key: str, default: Any, typ: Callable, synopsis: str) -> None:
+        self.registry[key.lower()] = Param(key, default, typ, synopsis)
+        self.values[key.lower()] = default
+
+    def _reg_tagged(self, base: str, defaults: dict[str, Any], typ: Callable, synopsis: str) -> None:
+        """Register corBase/obtBase/utgBase with per-tag defaults."""
+        for tag in _TAGS:
+            key = tag + base[0].upper() + base[1:]
+            p = Param(key, defaults[tag], typ, f"[{tag}] {synopsis}", tag_base=base.lower())
+            self.registry[key.lower()] = p
+            self.values[key.lower()] = defaults[tag]
+
+    def _register_all(self) -> None:
+        self._reg("genomeSize", None, parse_size, "expected genome size (required; accepts k/m/g)")
+        self._reg("minReadLength", 1000, int, "discard input reads shorter than this")
+        self._reg("minOverlapLength", 500, int, "ignore overlaps shorter than this")
+        self._reg("rawErrorRate", 0.30, float, "max expected error in raw-read alignments (meta: sets corOvlErrorRate)")
+        self._reg("correctedErrorRate", 0.12, float, "max expected error in corrected-read alignments (meta: sets obt/utgOvlErrorRate)")
+        self._reg("readType", "pacbio", str, "read technology: pacbio | nanopore")
+        self._reg("stopAfter", "", str, "stop the pipeline after this stage")
+        self._reg("canuIterationMax", 2, int, "max attempts per stage before giving up")
+
+        self._reg_tagged("ovlErrorRate", {"cor": 0.30, "obt": 0.12, "utg": 0.12}, float,
+                         "overlap erate gate for this phase")
+        self._reg_tagged("merSize", {"cor": 16, "obt": 16, "utg": 16}, int,
+                         "k-mer size (device kernels support <= 16)")
+        self._reg_tagged("mhapSensitivity", {"cor": "auto", "obt": "normal", "utg": "normal"}, str,
+                         "sketch sensitivity preset: low|normal|high|auto")
+        self._reg_tagged("bandWidth", {"cor": 256, "obt": 128, "utg": 128}, int,
+                         "banded-extension band width (multiple of 128)")
+        self._reg_tagged("merDistinct", {"cor": 0.9995, "obt": 0.9995, "utg": 0.9995}, float,
+                         "fraction of distinct k-mers below the frequent-mer cutoff")
+        self._reg_tagged("minShared", {"cor": 4, "obt": 4, "utg": 4}, int,
+                         "min inlier shared k-mers to keep a candidate")
+
+        self._reg("corOutCoverage", 40, int, "target coverage of corrected reads to output")
+        self._reg("corMaxEvidenceCoverage", 40, int, "cap on evidence reads per corrected read")
+        self._reg("corMinEvidenceLength", 0, int, "min evidence overlap length for correction")
+        self._reg("trimMinCoverage", 2, int, "min overlap coverage to keep read bases in trimming")
+        self._reg("contigFilterMinReads", 2, int, "tigs with fewer reads are unassembled")
+        self._reg("utgGraphDeviation", 6.0, float, "erate deviation filter for best edges (reserved)")
+        self._reg("maxMemory", 0, int, "advisory memory cap (GB); 0 = unlimited")
+        self._reg("maxThreads", 0, int, "advisory host thread cap; 0 = auto")
+        self._reg("useGrid", False, _bool, "reserved: multi-host execution")
+
+    # ---- sensitivity presets (OverlapMhap.pm:109-132 equivalents) ----
+
+    PRESETS = {"low": (256, 3), "normal": (512, 2), "high": (768, 2)}
+
+    def sketch_preset(self, tag: str, coverage: Optional[float] = None) -> tuple[int, int]:
+        """(n_hashes, min_matches) for a phase; 'auto' picks by coverage
+        like the reference (low coverage -> more sensitive)."""
+        name = self.get(tag + "MhapSensitivity")
+        if name == "auto":
+            name = "high" if (coverage or 0) < 30 else "normal"
+        if name not in self.PRESETS:
+            raise ConfigError(f"unknown sensitivity preset {name!r}")
+        return self.PRESETS[name]
+
+    # ---- get/set ----
+
+    def _lookup(self, key: str) -> Param:
+        p = self.registry.get(key.lower())
+        if p is None:
+            raise ConfigError(f"unknown parameter '{key}'")
+        return p
+
+    def get(self, key: str) -> Any:
+        return self.values[self._lookup(key).key.lower()]
+
+    def set(self, key: str, value: Any) -> None:
+        lk = key.lower()
+        # meta parameters set groups
+        if lk == "rawerrorrate":
+            v = float(value)
+            self.values[lk] = v
+            if "corovlerrorrate" not in self.explicit:
+                self.values["corovlerrorrate"] = v
+            return
+        if lk == "correctederrorrate":
+            v = float(value)
+            self.values[lk] = v
+            for t in ("obt", "utg"):
+                if f"{t}ovlerrorrate" not in self.explicit:
+                    self.values[f"{t}ovlerrorrate"] = v
+            return
+        # tag fan-out: bare base name sets all three tags
+        fanned = False
+        for tag in _TAGS:
+            tk = (tag + key[0].upper() + key[1:]).lower() if not key.lower().startswith(tag) else None
+            if tk and tk in self.registry:
+                if tk not in self.explicit:
+                    self.values[tk] = self.registry[tk].type(value)
+                fanned = True
+        if fanned:
+            return
+        p = self._lookup(key)
+        self.values[p.key.lower()] = p.type(value)
+        self.explicit.add(p.key.lower())
+
+    # ---- parsing ----
+
+    def parse_assign(self, text: str) -> None:
+        if "=" not in text:
+            raise ConfigError(f"expected key=value, got {text!r}")
+        k, v = text.split("=", 1)
+        self.set(k.strip(), v.strip())
+
+    def parse_spec_file(self, path: str) -> None:
+        with open(path) as fh:
+            for line in fh:
+                line = line.split("#", 1)[0].strip()
+                if line:
+                    self.parse_assign(line)
+
+    def validate(self) -> None:
+        """checkParameters equivalent (Defaults.pm:1128)."""
+        if self.get("genomeSize") is None:
+            raise ConfigError("genomeSize must be set (e.g. genomeSize=4.6m)")
+        for tag in _TAGS:
+            k = self.get(tag + "MerSize")
+            if not (2 <= k <= 16):
+                raise ConfigError(f"{tag}MerSize={k} unsupported (device k <= 16)")
+            bw = self.get(tag + "BandWidth")
+            if bw % 128 != 0:
+                raise ConfigError(f"{tag}BandWidth={bw} must be a multiple of 128")
+            er = self.get(tag + "OvlErrorRate")
+            if not (0 < er < 0.6):
+                raise ConfigError(f"{tag}OvlErrorRate={er} out of range")
+        if self.get("readType") not in ("pacbio", "nanopore"):
+            raise ConfigError(f"readType={self.get('readType')!r} unknown")
+
+    def print_options(self) -> str:
+        lines = []
+        for lk in sorted(self.registry):
+            p = self.registry[lk]
+            lines.append(f"{p.key:<24} <{self.values[lk]!r}> {p.synopsis}")
+        return "\n".join(lines)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {self.registry[lk].key: v for lk, v in self.values.items()}

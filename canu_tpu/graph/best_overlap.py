@@ -80,8 +80,14 @@ class BestOverlapGraph:
         span_a = (st.a_end - st.a_bgn).astype(np.int64)
         ok = (st.erate <= self.max_erate) & (span_a >= self.min_span)
 
-        self.b_contained = ok & b_l0 & b_r0 & ~(a_l0 & a_r0)  # B inside A
-        self.a_contained = ok & a_l0 & a_r0  # A inside B (or equal)
+        # containment must be asymmetric: near-identical reads (same span,
+        # both ends flush) would otherwise mark EACH OTHER contained and
+        # both drop out of the graph — the container must be strictly
+        # longer, ties broken by id (the reference resolves duplicate
+        # reads similarly in gatekeeper dedup + bogart contain handling)
+        a_longer = (len_a > len_b) | ((len_a == len_b) & (st.a_id < st.b_id))
+        self.b_contained = ok & b_l0 & b_r0 & ~(a_l0 & a_r0 & ~a_longer) & a_longer
+        self.a_contained = ok & a_l0 & a_r0 & ~a_longer  # A inside B
         # dovetail off A's 5' end: B' sticks out left
         self.dove5 = ok & a_l0 & b_r0 & ~b_l0 & ~a_r0
         # dovetail off A's 3' end: B' sticks out right

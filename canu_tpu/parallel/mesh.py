@@ -1,0 +1,103 @@
+"""Multi-chip sharding of the overlap pipeline (jax.sharding / shard_map).
+
+Replaces the reference's grid-array distribution — the hash-block x
+query-block MHAP job matrix (/root/reference/src/pipelines/canu/
+OverlapMhap.pm:191-296) plus shared-filesystem shuffle — with a device
+mesh and XLA collectives (SURVEY.md §2.13 TPU mapping):
+
+  * axis 'r' (data parallel): reads are sharded across devices, every
+    device sketches its own read block;
+  * axis 'h' (index/model parallel): the H min-hash slots are sharded by
+    hash range, each device computing its slice of every local read's
+    sketch — the "sketch index sharded by hash range" of BASELINE.json;
+  * collectives: all_gather over 'h' assembles full sketches; all_gather
+    over 'r' replaces the filesystem all-vs-all; candidate counts psum
+    over nothing (they stay sharded by 'r').
+
+The same step compiles on a virtual CPU mesh (tests, driver dryrun) and
+a real TPU slice.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.hashing import mix32
+from ..ops.kmer import INVALID_KMER, extract_kmers
+
+UINT32_MAX = jnp.uint32(0xFFFFFFFF)
+
+
+def make_overlap_mesh(n_devices: int | None = None) -> Mesh:
+    """2D mesh ('r' reads-DP x 'h' hash-range) over the first n devices."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    assert len(devs) >= n, f"need {n} devices, have {len(devs)}"
+    h = 2 if n % 2 == 0 and n >= 2 else 1
+    r = n // h
+    mesh_devs = np.array(devs[:n]).reshape(r, h)
+    return Mesh(mesh_devs, ("r", "h"))
+
+
+def _local_sketch(words, lengths, seeds, fk, k: int):
+    """Sketch one read block against a slice of hash seeds. [B, H_loc]."""
+    canon, _ = extract_kmers(words, lengths, k)
+    valid = canon != INVALID_KMER
+    if fk.shape[0] > 0:
+        idx = jax.vmap(lambda v: jnp.searchsorted(fk, v))(canon)
+        idx = jnp.minimum(idx, fk.shape[0] - 1)
+        valid = valid & (fk[idx] != canon)
+    H = seeds.shape[0]
+
+    def body(h, acc):
+        hv = mix32(canon ^ seeds[h])
+        hv = jnp.where(valid, hv, UINT32_MAX)
+        return acc.at[:, h].set(jnp.min(hv, axis=1))
+
+    init = jnp.full((canon.shape[0], H), UINT32_MAX, jnp.uint32)
+    return jax.lax.fori_loop(0, H, body, init)
+
+
+def _count_matches(SA, SB, min_matches: int):
+    """Slot-agreement counts [Na, Nb] -> candidate mask sums per row."""
+    H = SA.shape[1]
+
+    def body(h, acc):
+        a = SA[:, h]
+        b = SB[:, h]
+        eq = (a[:, None] == b[None, :]) & (a != UINT32_MAX)[:, None]
+        return acc + eq.astype(jnp.int32)
+
+    cnt = jax.lax.fori_loop(0, H, body, jnp.zeros((SA.shape[0], SB.shape[0]), jnp.int32))
+    return cnt
+
+
+def sharded_overlap_step(mesh: Mesh, k: int = 16, min_matches: int = 3):
+    """Build the jittable sharded sketch+match step.
+
+    Returns step(words [N, W] u32, lengths [N] i32, seeds [H] u32,
+    fk [F] u32) -> counts int32[N, N] (sharded over rows): per-pair
+    sketch-slot agreement, the candidate-generation "forward pass".
+    """
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("r", None), P("r"), P("h"), P()),
+        out_specs=P("r", None),
+        check_rep=False,
+    )
+    def step(words, lengths, seeds_local, fk):
+        sk_h = _local_sketch(words, lengths, seeds_local, fk, k)  # [B_loc, H_loc]
+        sk = jax.lax.all_gather(sk_h, "h", axis=1, tiled=True)  # [B_loc, H]
+        sk_all = jax.lax.all_gather(sk, "r", axis=0, tiled=True)  # [N, H]
+        cnt = _count_matches(sk, sk_all, min_matches)  # [B_loc, N]
+        return cnt
+
+    return jax.jit(step)

@@ -1,0 +1,140 @@
+"""Assembly pipeline driver (canu.pl executive equivalent).
+
+Replaces the reference Perl executive's phase sequencing
+(/root/reference/src/pipelines/canu.pl:653-764: correction -> trimming ->
+assembly, each re-running gatekeeper/meryl/overlap first) and its
+resume/retry contract (/root/reference/src/pipelines/canu/Execution.pm):
+
+  * every stage is idempotent; done-ness = existence of its output files
+    ("goto allDone if fileExists(...)", OverlapMhap.pm:82-85);
+  * stages retry up to canuIterationMax times (Execution.pm:1061-1098);
+  * `stopAfter=<stage>` halts at named points (Defaults.pm:1322-1334);
+  * all stage begin/end times are logged to canu-logs/ (AS_global.C:130).
+
+No grid: stages run in-process; heavy compute is on the TPU device.
+Multi-host distribution shards *within* device ops (canu_tpu.parallel),
+not by scattering processes.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+import traceback
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..config import Config, ConfigError
+from .report import Report
+
+
+class PipelineError(RuntimeError):
+    pass
+
+
+class StopPipeline(Exception):
+    """Raised to honor stopAfter."""
+
+
+@dataclass
+class AssemblyCtx:
+    work_dir: str
+    prefix: str
+    cfg: Config
+    report: Report = None  # type: ignore[assignment]
+    log: logging.Logger = None  # type: ignore[assignment]
+
+    def path(self, *parts: str) -> str:
+        return os.path.join(self.work_dir, *parts)
+
+    def phase_dir(self, phase: str) -> str:
+        d = self.path(phase)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+
+def make_ctx(work_dir: str, prefix: str, cfg: Config) -> AssemblyCtx:
+    os.makedirs(work_dir, exist_ok=True)
+    logs = os.path.join(work_dir, "canu-logs")
+    os.makedirs(logs, exist_ok=True)
+    logger = logging.getLogger(f"canu_tpu.{prefix}")
+    if not logger.handlers:
+        logger.setLevel(logging.INFO)
+        fh = logging.FileHandler(os.path.join(logs, f"{int(time.time())}_{os.getpid()}.log"))
+        fh.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
+        logger.addHandler(fh)
+        sh = logging.StreamHandler()
+        sh.setFormatter(logging.Formatter("-- %(message)s"))
+        logger.addHandler(sh)
+    ctx = AssemblyCtx(work_dir, prefix, cfg)
+    ctx.report = Report(os.path.join(work_dir, f"{prefix}.report"))
+    ctx.log = logger
+    return ctx
+
+
+def run_stage(ctx: AssemblyCtx, name: str, done: Callable[[], bool], fn: Callable[[], None]) -> None:
+    """Idempotent stage execution with bounded retries + stopAfter."""
+    if done():
+        ctx.log.info(f"{name}: already done, skipping")
+    else:
+        max_iter = int(ctx.cfg.get("canuIterationMax"))
+        for attempt in range(1, max_iter + 1):
+            t0 = time.time()
+            ctx.log.info(f"{name}: start (attempt {attempt}/{max_iter})")
+            try:
+                fn()
+                if not done():
+                    raise PipelineError(f"{name}: ran but outputs missing")
+                ctx.log.info(f"{name}: done in {time.time()-t0:.1f}s")
+                break
+            except (StopPipeline, KeyboardInterrupt):
+                raise
+            except Exception as e:
+                ctx.log.error(f"{name}: attempt {attempt} failed: {e}\n{traceback.format_exc()}")
+                if attempt == max_iter:
+                    raise PipelineError(f"{name} failed after {max_iter} attempts") from e
+    if ctx.cfg.get("stopAfter").lower() == name.lower():
+        ctx.log.info(f"stopAfter={name}: halting")
+        raise StopPipeline(name)
+
+
+# ---- pipeline --------------------------------------------------------------
+
+
+def run_pipeline(
+    work_dir: str,
+    prefix: str,
+    cfg: Config,
+    raw_reads: Optional[list[str]] = None,
+    corrected_reads: Optional[list[str]] = None,
+    trimmed_reads: Optional[list[str]] = None,
+) -> AssemblyCtx:
+    """Full hierarchical pipeline: correct -> trim -> assemble.
+
+    Entry points match the reference's -pacbio-raw / -pacbio-corrected /
+    -trimmed distinctions (canu.pl mode detection, canu.pl:341-525).
+    """
+    from . import stages
+
+    cfg.validate()
+    ctx = make_ctx(work_dir, prefix, cfg)
+    with open(ctx.path(f"{prefix}.spec.used"), "w") as fh:
+        json.dump(cfg.to_dict(), fh, indent=1, default=str)
+
+    try:
+        if raw_reads is not None:
+            stages.correction_phase(ctx, raw_reads)
+            corrected_reads = [ctx.path("correction", f"{ctx.prefix}.correctedReads.fasta.gz")]
+        if corrected_reads is not None:
+            stages.trimming_phase(ctx, corrected_reads)
+            trimmed_reads = [ctx.path("trimming", f"{ctx.prefix}.trimmedReads.fasta.gz")]
+        if trimmed_reads is None:
+            raise ConfigError("no input reads given")
+        stages.assembly_phase(ctx, trimmed_reads)
+    except StopPipeline:
+        pass
+    return ctx

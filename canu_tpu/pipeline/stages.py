@@ -1,0 +1,316 @@
+"""Pipeline stage implementations (the L5 layer of the reference).
+
+Each phase re-runs gatekeeper -> meryl -> overlap first, exactly like the
+reference's per-phase call sequences (/root/reference/src/pipelines/
+canu.pl:660-680 correct, :699-712 trim, :731-762 assemble), then its own
+stages.  Stage done-ness is file existence (resume contract, see
+driver.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..config import Config
+from ..stores.readset import ReadSet
+from ..stores.overlaps import OverlapStore
+from ..stores.tigs import CLASS_CONTIG, CLASS_UNASSEMBLED, TigStore
+from ..utils import bitpack
+from ..utils.intervals import largest_covered
+from .driver import AssemblyCtx, run_stage
+
+TAG_DIR = {"cor": "correction", "obt": "trimming", "utg": "unitigging"}
+
+
+# ---- shared per-phase stages ------------------------------------------------
+
+
+def gatekeeper(ctx: AssemblyCtx, tag: str, inputs: list[str]) -> ReadSet:
+    """Load reads into the phase store (gatekeeperCreate equivalent,
+    /root/reference/src/stores/gatekeeperCreate.C)."""
+    d = ctx.phase_dir(TAG_DIR[tag])
+    store = os.path.join(d, f"{ctx.prefix}.gkpStore")
+
+    def done() -> bool:
+        return os.path.isdir(store)
+
+    def fn() -> None:
+        rs, stats = ReadSet.from_fastx(inputs, min_read_length=int(ctx.cfg.get("minReadLength")))
+        if rs.n_reads == 0:
+            raise RuntimeError(f"gatekeeper[{tag}]: no reads loaded from {inputs}")
+        rs.save(store)
+        hist = rs.length_histogram(1000)
+        ctx.report.add(
+            f"{tag}.gatekeeper",
+            f"reads loaded {stats.n_loaded} / input {stats.n_input}; "
+            f"bases {stats.bases_loaded}; split-at-N {stats.n_split_at_n}; "
+            f"short discards {stats.n_skipped_short}\n"
+            f"length histogram (kb): {hist.tolist()}",
+        )
+
+    run_stage(ctx, f"{tag}-gatekeeper", done, fn)
+    return ReadSet.load(store)
+
+
+def meryl(ctx: AssemblyCtx, tag: str, rs: ReadSet):
+    """k-mer counting + frequent-mer table (Meryl.pm equivalent)."""
+    from ..ops import kmer as K
+
+    d = ctx.phase_dir(TAG_DIR[tag])
+    k = int(ctx.cfg.get(tag + "MerSize"))
+    out = os.path.join(d, f"{ctx.prefix}.ms{k}.frequent.npz")
+
+    def done() -> bool:
+        return os.path.exists(out)
+
+    def fn() -> None:
+        kc = K.count_readset_device(rs, k=k, block_size=256)
+        fk = K.frequent_kmers(kc, distinct_fraction=float(ctx.cfg.get(tag + "MerDistinct")))
+        hist = kc.histogram(1000)
+        np.savez(
+            out + ".WORKING.npz",
+            kmers=fk.kmers,
+            fraction=fk.fraction,
+            threshold=np.array([fk.threshold]),
+            total=np.array([fk.total_kmers]),
+            k=np.array([k]),
+        )
+        os.replace(out + ".WORKING.npz", out)
+        ctx.report.add(
+            f"{tag}.meryl",
+            f"k={k} distinct-fraction threshold {fk.threshold}; "
+            f"{fk.n} frequent mers of {int(hist[1:].sum())} distinct",
+        )
+
+    run_stage(ctx, f"{tag}-meryl", done, fn)
+    with np.load(out) as z:
+        return K.FrequentKmers(
+            k=int(z["k"][0]),
+            kmers=z["kmers"],
+            fraction=z["fraction"],
+            threshold=int(z["threshold"][0]),
+            total_kmers=int(z["total"][0]),
+        )
+
+
+def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
+    """Sketch -> candidates -> place -> banded verify -> OverlapStore.
+
+    The whole overlap computation + store build of the reference
+    (OverlapMhap.pm + overlapInCore + OverlapStore.pm) as device passes.
+    """
+    from ..ops import align as AL
+    from ..ops import minhash as MH
+
+    d = ctx.phase_dir(TAG_DIR[tag])
+    store = os.path.join(d, f"{ctx.prefix}.ovlStore")
+
+    def done() -> bool:
+        return os.path.isdir(store)
+
+    def fn() -> None:
+        cfg = ctx.cfg
+        k = int(cfg.get(tag + "MerSize"))
+        coverage = rs.total_bases / max(1.0, cfg.get("genomeSize"))
+        n_hashes, min_matches = cfg.sketch_preset(tag, coverage)
+        sk = MH.build_sketches(rs, k=k, n_hashes=n_hashes, frequent=fk, block_size=256)
+        pairs = MH.find_candidates(sk, min_matches=min_matches, block_size=1024)
+        cand = MH.place_candidates(
+            rs, pairs, k=k, frequent=fk,
+            min_shared=int(cfg.get(tag + "MinShared")), chunk=256,
+        )
+        ov = AL.verify_overlaps(
+            rs, cand,
+            k=k,
+            band=int(cfg.get(tag + "BandWidth")),
+            max_erate=float(cfg.get(tag + "OvlErrorRate")),
+            min_overlap=int(cfg.get("minOverlapLength")),
+            chunk=128,
+        )
+        st = OverlapStore.build(ov, rs.n_reads)
+        st.save(store)
+        per_read = st.n_overlaps_per_read()
+        ctx.report.add(
+            f"{tag}.overlap",
+            f"sketch H={n_hashes} mm={min_matches}; candidate pairs {len(pairs)}; "
+            f"placed {len(cand)}; verified {st.n_overlaps}; "
+            f"median overlaps/read {int(np.median(per_read))}; "
+            f"median erate {float(np.median(st.erate)) if len(st) else 0:.4f}",
+        )
+
+    run_stage(ctx, f"{tag}-overlap", done, fn)
+    return OverlapStore.load(store)
+
+
+# ---- correction phase -------------------------------------------------------
+
+
+def correction_phase(ctx: AssemblyCtx, raw_inputs: list[str]) -> None:
+    """Raw reads -> corrected reads (CorrectReads.pm + falconsense)."""
+    from ..ops.falcon import correct_reads
+
+    d = ctx.phase_dir("correction")
+    out = os.path.join(d, f"{ctx.prefix}.correctedReads.fasta.gz")
+    rs = gatekeeper(ctx, "cor", raw_inputs)
+    fk = meryl(ctx, "cor", rs)
+    st = overlap(ctx, "cor", rs, fk)
+
+    def done() -> bool:
+        return os.path.exists(out)
+
+    def fn() -> None:
+        corrected = correct_reads(
+            rs, st,
+            genome_size=float(ctx.cfg.get("genomeSize")),
+            out_coverage=int(ctx.cfg.get("corOutCoverage")),
+            max_evidence_coverage=int(ctx.cfg.get("corMaxEvidenceCoverage")),
+            min_evidence_length=int(ctx.cfg.get("corMinEvidenceLength")),
+            band=int(ctx.cfg.get("corBandWidth")),
+        )
+        from ..io.fastx import write_fasta
+
+        n = write_fasta(
+            out + ".WORKING.gz",
+            ((name, seq) for name, seq in corrected),
+        )
+        os.replace(out + ".WORKING.gz", out)
+        ctx.report.add("cor.correct", f"corrected {n} reads -> {out}")
+
+    run_stage(ctx, "correction", done, fn)
+
+
+# ---- trimming phase ---------------------------------------------------------
+
+
+def trimming_phase(ctx: AssemblyCtx, corrected_inputs: list[str]) -> None:
+    """Corrected reads -> trimmed reads (OverlapBasedTrimming.pm:
+    largest-covered-interval clear ranges applied on dump)."""
+    d = ctx.phase_dir("trimming")
+    out = os.path.join(d, f"{ctx.prefix}.trimmedReads.fasta.gz")
+    rs = gatekeeper(ctx, "obt", corrected_inputs)
+    fk = meryl(ctx, "obt", rs)
+    st = overlap(ctx, "obt", rs, fk)
+
+    def done() -> bool:
+        return os.path.exists(out)
+
+    def fn() -> None:
+        min_cov = int(ctx.cfg.get("trimMinCoverage"))
+        min_len = int(ctx.cfg.get("minReadLength"))
+        min_ovl = int(ctx.cfg.get("minOverlapLength"))
+        from ..io.fastx import write_fasta
+
+        records = []
+        n_trimmed = n_dropped = 0
+        for rid in range(1, rs.n_reads + 1):
+            o = st.overlaps_for(rid)
+            spans = np.stack([o["a_bgn"], o["a_end"]], axis=1)
+            spans = spans[(spans[:, 1] - spans[:, 0]) >= min_ovl]
+            bgn, end = largest_covered(spans, min_cov)
+            if end - bgn < min_len:
+                n_dropped += 1
+                continue
+            codes = rs.get_codes(rid)[bgn:end]
+            if end - bgn < int(rs.length[rid - 1]):
+                n_trimmed += 1
+            records.append((f"{rs.name(rid)}_trim_{bgn}_{end}", bitpack.codes_to_seq(codes)))
+        write_fasta(out + ".WORKING.gz", records)
+        os.replace(out + ".WORKING.gz", out)
+        ctx.report.add(
+            "obt.trim",
+            f"kept {len(records)} reads ({n_trimmed} trimmed), dropped {n_dropped}",
+        )
+
+    run_stage(ctx, "trimming", done, fn)
+
+
+# ---- assembly phase ---------------------------------------------------------
+
+
+def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
+    """Trimmed reads -> contigs (unitigging + consensus + outputs)."""
+    from ..graph import build_unitigs
+    from ..ops.consensus import quick_mosaic
+
+    d = ctx.phase_dir("unitigging")
+    rs = gatekeeper(ctx, "utg", trimmed_inputs)
+    fk = meryl(ctx, "utg", rs)
+    st = overlap(ctx, "utg", rs, fk)
+
+    ctg_dir = os.path.join(d, f"{ctx.prefix}.ctgStore")
+
+    def tigs_done() -> bool:
+        return TigStore.latest_version(ctg_dir) >= 1
+
+    def tigs_fn() -> None:
+        tigs = build_unitigs(
+            st, rs.length,
+            max_erate=float(ctx.cfg.get("utgOvlErrorRate")),
+            min_span=int(ctx.cfg.get("minOverlapLength")),
+            min_reads_per_contig=int(ctx.cfg.get("contigFilterMinReads")),
+        )
+        tigs.save(ctg_dir, version=1)
+        n_contig = sum(1 for t in tigs if t.tig_class == CLASS_CONTIG)
+        ctx.report.add(
+            "utg.unitig",
+            f"{len(tigs)} tigs ({n_contig} contigs), N50 {tigs.n50()}",
+        )
+
+    run_stage(ctx, "unitig", tigs_done, tigs_fn)
+
+    def cns_done() -> bool:
+        return TigStore.latest_version(ctg_dir) >= 2
+
+    def cns_fn() -> None:
+        tigs = TigStore.load(ctg_dir, version=1)
+        for t in tigs:
+            t.consensus = quick_mosaic(rs, t)
+        tigs.save(ctg_dir, version=2)
+
+    run_stage(ctx, "consensus", cns_done, cns_fn)
+
+    # outputs (Output.pm:56-160: contigs/unassembled fasta + layouts)
+    fasta_out = ctx.path(f"{ctx.prefix}.contigs.fasta")
+
+    def out_done() -> bool:
+        return os.path.exists(fasta_out)
+
+    def out_fn() -> None:
+        from ..io.fastx import write_fasta
+
+        tigs = TigStore.load(ctg_dir, version=2)
+        contigs, unassembled = [], []
+        layout_lines = []
+        for t in tigs:
+            seq = bitpack.codes_to_seq(t.consensus) if t.consensus is not None else ""
+            name = f"tig{t.tig_id:08d}"
+            rec = (f"{name} len={len(seq)} reads={t.n_reads}", seq)
+            (contigs if t.tig_class == CLASS_CONTIG else unassembled).append(rec)
+            for i in range(t.n_reads):
+                layout_lines.append(
+                    f"{name}\t{int(t.read_id[i])}\t{int(t.bgn[i])}\t{int(t.end[i])}\t"
+                    f"{'-' if t.rev[i] else '+'}"
+                )
+        write_fasta(fasta_out + ".WORKING", contigs)
+        os.replace(fasta_out + ".WORKING", fasta_out)
+        un = ctx.path(f"{ctx.prefix}.unassembled.fasta")
+        write_fasta(un + ".WORKING", unassembled)
+        os.replace(un + ".WORKING", un)
+        lay = ctx.path(f"{ctx.prefix}.layout.tsv")
+        with open(lay + ".WORKING", "w") as fh:
+            fh.write("\n".join(layout_lines) + ("\n" if layout_lines else ""))
+        os.replace(lay + ".WORKING", lay)
+        from ..io.gfa import write_gfa
+
+        write_gfa(ctx.path(f"{ctx.prefix}.contigs.gfa"), tigs, rs, st)
+        lens = sorted((len(s) for _, s in contigs), reverse=True)
+        ctx.report.add(
+            "utg.output",
+            f"{len(contigs)} contigs, {len(unassembled)} unassembled; "
+            f"sizes {lens[:10]}",
+        )
+
+    run_stage(ctx, "outputs", out_done, out_fn)

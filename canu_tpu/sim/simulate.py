@@ -105,6 +105,7 @@ def simulate_reads(
     error_rate: float = 0.1,
     seed: int = 1,
     circular: bool = True,
+    max_len: int | None = None,
 ) -> tuple[ReadSet, ReadTruth]:
     """Sample noisy reads to the requested coverage with known truth.
 
@@ -119,6 +120,8 @@ def simulate_reads(
     while total < target:
         l = int(rng.gamma(shape=2.0, scale=mean_len / 2.0))
         l = max(min_len, min(l, max(min_len, G if circular else G)))
+        if max_len is not None:
+            l = min(l, max_len)
         lens.append(l)
         total += l
     n = len(lens)

@@ -103,6 +103,7 @@ class ReadSet:
         paths: str | Sequence[str],
         min_read_length: int = 1000,
         keep_names: bool = True,
+        use_native: bool = True,
     ) -> tuple["ReadSet", ReadSetStats]:
         """Load reads from FASTA/FASTQ files (gatekeeperCreate equivalent).
 
@@ -111,31 +112,52 @@ class ReadSet:
         fragments shorter than ``min_read_length`` are dropped (reference
         ``minReadLength``, default 1000 —
         /root/reference/src/pipelines/canu/Defaults.pm).
-        """
-        from ..io.fastx import read_fastx
 
+        Uses the native C++ scanner (canu_tpu.native) when available,
+        falling back to the pure-Python parser.
+        """
         if isinstance(paths, (str, os.PathLike)):
             paths = [paths]
         stats = ReadSetStats()
         codes_list: list[np.ndarray] = []
         names: list[str] = []
+
+        def add_record(name: str, codes: np.ndarray) -> None:
+            stats.n_input += 1
+            frags = _split_at_invalid(codes)
+            if len(frags) > 1:
+                stats.n_split_at_n += 1
+            for fi, (bgn, frag) in enumerate(frags):
+                if len(frag) < min_read_length:
+                    stats.n_skipped_short += 1
+                    continue
+                codes_list.append(frag)
+                if keep_names:
+                    suffix = f"_frag{fi}" if len(frags) > 1 else ""
+                    names.append(name + suffix)
+                stats.n_loaded += 1
+                stats.bases_loaded += len(frag)
+
         for path in paths:
-            for rec in read_fastx(path):
-                stats.n_input += 1
-                codes = bitpack.seq_to_codes(rec.seq)
-                frags = _split_at_invalid(codes)
-                if len(frags) > 1:
-                    stats.n_split_at_n += 1
-                for fi, (bgn, frag) in enumerate(frags):
-                    if len(frag) < min_read_length:
-                        stats.n_skipped_short += 1
-                        continue
-                    codes_list.append(frag)
-                    if keep_names:
-                        suffix = f"_frag{fi}" if len(frags) > 1 else ""
-                        names.append(rec.name + suffix)
-                    stats.n_loaded += 1
-                    stats.bases_loaded += len(frag)
+            handled = False
+            if use_native:
+                from .. import native
+
+                if native.get_lib() is not None:
+                    data = _read_all_bytes(path)
+                    res = native.fastx_scan(data)
+                    if res is not None:
+                        codes, rec_off, rec_names = res
+                        for r in range(len(rec_names)):
+                            add_record(
+                                rec_names[r], codes[rec_off[r] : rec_off[r + 1]]
+                            )
+                        handled = True
+            if not handled:
+                from ..io.fastx import read_fastx
+
+                for rec in read_fastx(path):
+                    add_record(rec.name, bitpack.seq_to_codes(rec.seq))
         rs = cls.from_codes_list(codes_list, names if keep_names else None)
         return rs, stats
 
@@ -256,6 +278,19 @@ class ReadSet:
         if self.n_reads == 0:
             return np.zeros(0, dtype=np.int64)
         return np.bincount(self.length // bin_size)
+
+
+def _read_all_bytes(path: str | os.PathLike) -> bytes:
+    """Whole file, gzip-transparent (for the native scanner)."""
+    import gzip
+
+    path = os.fspath(path)
+    with open(path, "rb") as fh:
+        head = fh.read(2)
+        fh.seek(0)
+        if head == b"\x1f\x8b":
+            return gzip.decompress(fh.read())
+        return fh.read()
 
 
 def _split_at_invalid(codes: np.ndarray) -> list[tuple[int, np.ndarray]]:
