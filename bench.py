@@ -43,7 +43,7 @@ def run_overlap_pass(rs, fk, timing: dict):
     pairs = MH.find_candidates(sk, min_matches=2, block_size=128)
     timing["match"] = time.time() - t
     t = time.time()
-    cand = MH.place_candidates(rs, pairs, k=16, frequent=fk, min_shared=4, chunk=128)
+    cand = MH.place_candidates(rs, pairs, k=16, frequent=fk, min_shared=4, chunk=512)
     timing["place"] = time.time() - t
     t = time.time()
     ov = AL.verify_overlaps(

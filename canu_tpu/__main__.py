@@ -14,7 +14,23 @@ the tech only changes error-rate defaults.
 
 from __future__ import annotations
 
+import os
 import sys
+
+
+def _honor_platform_env() -> None:
+    """Respect JAX_PLATFORMS even where a sitecustomize forced a backend
+    via jax.config (e.g. the axon TPU tunnel): the env var should win for
+    an explicit CLI invocation."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
 
 from .config import Config, ConfigError
 from .pipeline.driver import run_pipeline
@@ -65,6 +81,7 @@ def main(argv: list[str]) -> int:
             return 2
         i += 1
 
+    _honor_platform_env()
     try:
         run_pipeline(
             work_dir,

@@ -105,6 +105,8 @@ class Config:
         self._reg_tagged("minShared", {"cor": 4, "obt": 4, "utg": 4}, int,
                          "min inlier shared k-mers to keep a candidate")
 
+        self._reg("cnsPolish", True, _bool, "plurality-polish contig consensus with tig reads")
+        self._reg("cnsMinCoverage", 2, int, "min read coverage for a polished consensus call")
         self._reg("corOutCoverage", 40, int, "target coverage of corrected reads to output")
         self._reg("corMaxEvidenceCoverage", 40, int, "cap on evidence reads per corrected read")
         self._reg("corMinEvidenceLength", 0, int, "min evidence overlap length for correction")
@@ -114,6 +116,8 @@ class Config:
         self._reg("maxMemory", 0, int, "advisory memory cap (GB); 0 = unlimited")
         self._reg("maxThreads", 0, int, "advisory host thread cap; 0 = auto")
         self._reg("useGrid", False, _bool, "reserved: multi-host execution")
+        self._reg("onSuccess", "", str, "command to run when the pipeline finishes (gets the prefix as arg)")
+        self._reg("onFailure", "", str, "command to run when the pipeline fails (gets the prefix as arg)")
 
     # ---- sensitivity presets (OverlapMhap.pm:109-132 equivalents) ----
 

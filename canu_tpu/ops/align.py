@@ -40,7 +40,7 @@ from ..utils.bitpack import n_words
 from .kmer import INVALID_KMER, extract_kmers, unpack_bases
 from .minhash import OverlapCandidates
 
-INF = jnp.int32(1 << 28)
+INF = 1 << 28  # python int: module-level jnp scalars become hoisted executable buffers
 MAX_ANCHORS = 64
 
 
@@ -114,7 +114,7 @@ def banded_extend(
 
     # band start per row: centered, clamped into [0, b_len], monotonic,
     # slope-clamped to SMAX/row (identical schedule to the Pallas kernel)
-    SMAX = 8
+    SMAX = 4
     o_all = jnp.clip(centers - band // 2, 0, jnp.maximum(b_len, 0)[:, None])
     o_all = jax.lax.associative_scan(jnp.maximum, o_all, axis=1)
     # o'_i = min(o_i, o'_{i-1} + SMAX)  ==  SMAX*i + cummin(o_j - SMAX*j)
@@ -220,10 +220,12 @@ def _anchor_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int):
 
     Returns (anchorsA int32[B, M], anchorsB int32[B, M], n_anchor int32[B])
     positions in A / oriented-B coordinates, padded with -1, M=MAX_ANCHORS.
+    Matches come from the one-sort adjacency join (canu_tpu.ops.kmerjoin).
     """
+    from .kmerjoin import masked_median, pair_matches
+
     canonA, strandA = extract_kmers(wordsA, lenA, k)
     basesB = orient_bases(unpack_bases(wordsB), lenB, flipped)
-    # re-pack is unnecessary: extract from oriented bases directly
     B_, L = basesB.shape
     P = L - k + 1
     fwB = jnp.zeros((B_, P), dtype=jnp.uint32)
@@ -236,52 +238,45 @@ def _anchor_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int):
     strandB = rcB < fwB
     posP = jnp.arange(P, dtype=jnp.int32)[None, :]
     validB = posP <= (lenB[:, None] - k)
-    canonB = jnp.where(validB, canonB, INVALID_KMER)
+    validA = canonA != INVALID_KMER
+    pos = jnp.broadcast_to(posP, canonA.shape).astype(jnp.int32)
 
-    # sort A kmers, search B kmers in them
-    order = jnp.argsort(canonA, axis=1)
-    sortedA = jnp.take_along_axis(canonA, order, axis=1)
-    posA_s = jnp.take_along_axis(jnp.broadcast_to(posP, canonA.shape).astype(jnp.int32), order, axis=1)
-    strA_s = jnp.take_along_axis(strandA, order, axis=1)
-    idx = jax.vmap(lambda aa, v: jnp.searchsorted(aa, v))(sortedA, canonB)
-    idx = jnp.minimum(idx, canonA.shape[1] - 1)
-    hit = (jnp.take_along_axis(sortedA, idx, axis=1) == canonB) & (canonB != INVALID_KMER)
-    posA_m = jnp.take_along_axis(posA_s, idx, axis=1)
-    strA_m = jnp.take_along_axis(strA_s, idx, axis=1)
+    hit, posA_m, posB_m, agree = pair_matches(
+        canonA, validA, strandA, pos, canonB, validB, strandB, pos
+    )
     # oriented B: a true match has equal forward kmers <=> equal strand flags
-    hit = hit & (strA_m == strandB)
+    hit = hit & agree
+    W2 = hit.shape[1]
 
-    diag = posA_m - posP
+    diag = posA_m - posB_m
     BIG = jnp.int32(2**30)
-    masked = jnp.where(hit, diag, BIG)
-    srt = jnp.sort(masked, axis=1)
-    n_hit = jnp.sum(hit.astype(jnp.int32), axis=1)
-    med = jnp.take_along_axis(srt, (jnp.maximum(n_hit - 1, 0) // 2)[:, None], axis=1)[:, 0]
+    med = masked_median(diag, hit)
     min_len = jnp.minimum(lenA, lenB)
     tol = jnp.maximum(100, (min_len * 0.30).astype(jnp.int32))
     inl = hit & (jnp.abs(diag - med[:, None]) <= tol[:, None])
 
-    # monotonize: keep matches whose posA strictly exceeds every previous
-    # kept match's posA (posB = column index is already increasing)
-    pa = jnp.where(inl, posA_m, -1)
-    cm = jax.lax.associative_scan(jnp.maximum, pa, axis=1)
+    # sort matches by posA (carrying posB), then monotonize posB
+    keyA = jnp.where(inl, posA_m, BIG)
+    keyA_s, posB_s = jax.lax.sort((keyA, posB_m), dimension=1, num_keys=1)
+    valid_s = keyA_s != BIG
+    pb = jnp.where(valid_s, posB_s, -1)
+    cm = jax.lax.associative_scan(jnp.maximum, pb, axis=1)
     cm_prev = jnp.concatenate([jnp.full((B_, 1), -1, jnp.int32), cm[:, :-1]], axis=1)
-    keep = inl & (posA_m > cm_prev)
+    keep = valid_s & (pb > cm_prev)
 
     n_keep = jnp.sum(keep.astype(jnp.int32), axis=1)
-    kidx = jnp.where(keep, posP, P)  # position index in B == column
-    kidx_sorted = jnp.sort(kidx, axis=1)  # kept columns first
-    # evenly subsample MAX_ANCHORS of the kept matches
+    col = jnp.broadcast_to(jnp.arange(W2, dtype=jnp.int32)[None, :], keep.shape)
+    kidx = jnp.where(keep, col, W2)
+    kidx_sorted = jnp.sort(kidx, axis=1)
     m_ramp = jnp.arange(MAX_ANCHORS, dtype=jnp.int32)[None, :]
     denom = jnp.maximum(n_keep - 1, 1)[:, None]
     pick = (m_ramp * denom) // (MAX_ANCHORS - 1)
     pick = jnp.minimum(pick, jnp.maximum(n_keep[:, None] - 1, 0))
     cols = jnp.take_along_axis(kidx_sorted, pick, axis=1)
-    valid_a = (m_ramp < jnp.minimum(n_keep, MAX_ANCHORS * 1000)[:, None]) & (cols < P)
-    cols_c = jnp.clip(cols, 0, P - 1)
-    aA = jnp.where(valid_a, jnp.take_along_axis(posA_m, cols_c, axis=1), -1)
-    aB = jnp.where(valid_a, cols_c, -1)
-    # dedupe picks (same anchor repeated when n_keep < MAX_ANCHORS)
+    valid_a = (m_ramp < n_keep[:, None]) & (cols < W2)
+    cols_c = jnp.clip(cols, 0, W2 - 1)
+    aA = jnp.where(valid_a, jnp.take_along_axis(keyA_s, cols_c, axis=1), -1)
+    aB = jnp.where(valid_a, jnp.take_along_axis(posB_s, cols_c, axis=1), -1)
     dup = jnp.concatenate([jnp.zeros((B_, 1), bool), aB[:, 1:] == aB[:, :-1]], axis=1)
     aA = jnp.where(dup, -1, aA)
     aB = jnp.where(dup, -1, aB)
@@ -340,9 +335,9 @@ def _verify_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_row
     """Anchor + bidirectional banded extension for one chunk of pairs."""
     extend = banded_extend
     if use_pallas:
-        from .pallas.extend import banded_extend_pallas
+        from .pallas.extend_x8 import banded_extend_pallas_x8
 
-        extend = partial(banded_extend_pallas, interpret=False)
+        extend = partial(banded_extend_pallas_x8, interpret=False)
     aA, aB, n_anchor = _anchor_kernel(wordsA, lenA, wordsB, lenB, flipped, k)
     basesA = unpack_bases(wordsA)
     basesB = orient_bases(unpack_bases(wordsB), lenB, flipped)
@@ -411,6 +406,21 @@ def verify_overlaps(
     """
     if use_pallas is None:
         use_pallas = _on_tpu()
+    # sort candidates by pair length so the x8 kernel's groups of 8 are
+    # homogeneous (a group runs to its longest member's row count)
+    if len(cand):
+        ln = np.maximum(
+            readset.length[cand.a_id.astype(np.int64) - 1],
+            readset.length[cand.b_id.astype(np.int64) - 1],
+        )
+        order = np.argsort(-ln, kind="stable")
+        from dataclasses import replace as _replace
+
+        cand = OverlapCandidates(
+            **{f: getattr(cand, f)[order] for f in (
+                "a_id", "b_id", "flipped", "diag", "n_shared",
+                "a_lo", "a_hi", "b_lo", "b_hi")}
+        )
     cols: dict[str, list] = {n: [] for n in (
         "a_id", "b_id", "flipped", "a_bgn", "a_end", "b_bgn", "b_end", "erate_q")}
     M = len(cand)

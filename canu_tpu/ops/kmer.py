@@ -35,7 +35,7 @@ from ..utils.bitpack import n_words
 # Sentinel that sorts after every valid canonical k-mer (valid k-mers for
 # k=16 use all 32 bits, but the canonical min(fw, rc) can never be
 # 0xFFFFFFFF: its own revcomp would be 0x0 which is smaller).
-INVALID_KMER = jnp.uint32(0xFFFFFFFF)
+INVALID_KMER = np.uint32(0xFFFFFFFF)
 
 
 def unpack_bases(words: jax.Array) -> jax.Array:

@@ -35,7 +35,16 @@ from ..utils.bitpack import n_words
 from .hashing import hash_seeds, mix32
 from .kmer import INVALID_KMER, FrequentKmers, extract_kmers, length_bucketed_blocks
 
-UINT32_MAX = jnp.uint32(0xFFFFFFFF)
+UINT32_MAX = np.uint32(0xFFFFFFFF)
+
+
+def _fk_array(frequent: "FrequentKmers | None") -> np.ndarray:
+    """Frequent-kmer array, never empty: zero-sized device buffers trip an
+    XLA buffer-count bug; INVALID_KMER (0xFFFFFFFF) can never equal a
+    canonical k-mer, so a 1-sentinel array is a no-op filter."""
+    if frequent is not None and frequent.n:
+        return frequent.kmers
+    return np.full(1, 0xFFFFFFFF, np.uint32)
 
 
 # ---- stage A: sketches ------------------------------------------------------
@@ -78,9 +87,7 @@ def build_sketches(
 ) -> np.ndarray:
     """Sketch every read; returns uint32[N, H] (host), rows = read_id-1."""
     seeds = jnp.asarray(hash_seeds(n_hashes, seed))
-    fk = jnp.asarray(
-        frequent.kmers if frequent is not None and frequent.n else np.zeros(0, np.uint32)
-    )
+    fk = jnp.asarray(_fk_array(frequent))
     out = np.full((readset.n_reads, n_hashes), 0xFFFFFFFF, dtype=np.uint32)
     for ids, W in length_bucketed_blocks(readset, block_size):
         words, lengths = readset.block_words(ids, W)
@@ -184,7 +191,12 @@ def _pair_stats_kernel(wordsA, lenA, wordsB, lenB, seeds0, fk_kmers, k: int):
     (flipped bool[C], diag int32[C], n_inliers int32[C],
      a_lo, a_hi, b_lo, b_hi int32[C]) where spans cover the inlier
     k-mer matches (B span in forward-B coordinates).
+
+    Shared k-mers come from the one-sort adjacency join
+    (canu_tpu.ops.kmerjoin) -- no per-row searchsorted.
     """
+    from .kmerjoin import masked_median, pair_matches
+
     canonA, strandA = extract_kmers(wordsA, lenA, k)  # [C, P]
     canonB, strandB = extract_kmers(wordsB, lenB, k)
     P = canonA.shape[1]
@@ -194,40 +206,23 @@ def _pair_stats_kernel(wordsA, lenA, wordsB, lenB, seeds0, fk_kmers, k: int):
         idx = jax.vmap(lambda v: jnp.searchsorted(fk_kmers, v))(canonB)
         idx = jnp.minimum(idx, fk_kmers.shape[0] - 1)
         validB = validB & (fk_kmers[idx] != canonB)
-
-    # sort A's kmers (invalid sort to the end), carrying position+strand
-    order = jnp.argsort(canonA, axis=1)
-    sortedA = jnp.take_along_axis(canonA, order, axis=1)
-    posA_s = jnp.take_along_axis(
-        jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None, :], canonA.shape), order, axis=1
+    pos = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None, :], canonA.shape)
+    hit, posA_m, posB_m, agree = pair_matches(
+        canonA, validA, strandA, pos, canonB, validB, strandB, pos
     )
-    strA_s = jnp.take_along_axis(strandA, order, axis=1)
 
-    # for every B kmer, first matching A position
-    idx = jax.vmap(lambda a, v: jnp.searchsorted(a, v))(sortedA, canonB)
-    idx = jnp.minimum(idx, P - 1)
-    hit = (jnp.take_along_axis(sortedA, idx, axis=1) == canonB) & validB
-    posA_m = jnp.take_along_axis(posA_s, idx, axis=1)  # [C, P]
-    strA_m = jnp.take_along_axis(strA_s, idx, axis=1)
-    posB = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None, :], canonB.shape)
-
-    same = strA_m == strandB
-    n_same = jnp.sum((hit & same).astype(jnp.int32), axis=1)
-    n_opp = jnp.sum((hit & ~same).astype(jnp.int32), axis=1)
+    n_same = jnp.sum((hit & agree).astype(jnp.int32), axis=1)
+    n_opp = jnp.sum((hit & ~agree).astype(jnp.int32), axis=1)
     flipped = n_opp > n_same
 
     # B position mapped into forward-A-compatible coordinates
-    posB_fl = lenB[:, None] - k - posB  # position in rc(B)
-    posB_eff = jnp.where(flipped[:, None], posB_fl, posB)
-    sel = hit & (same != flipped[:, None])  # matches agreeing with the vote
+    posB_fl = lenB[:, None] - k - posB_m  # position in rc(B)
+    posB_eff = jnp.where(flipped[:, None], posB_fl, posB_m)
+    sel = hit & (agree != flipped[:, None])  # matches agreeing with the vote
     diag = posA_m - posB_eff
 
     BIG = jnp.int32(2**30)
-    masked = jnp.where(sel, diag, BIG)
-    srt = jnp.sort(masked, axis=1)
-    n_sel = jnp.sum(sel.astype(jnp.int32), axis=1)
-    med_idx = jnp.maximum(n_sel - 1, 0) // 2
-    med = jnp.take_along_axis(srt, med_idx[:, None], axis=1)[:, 0]
+    med = masked_median(diag, sel)
 
     # inliers: diagonal within an indel-proportional tolerance
     min_len = jnp.minimum(lenA, lenB)
@@ -238,13 +233,9 @@ def _pair_stats_kernel(wordsA, lenA, wordsB, lenB, seeds0, fk_kmers, k: int):
     # spans over inlier matches (A coords; B span in forward-B coords)
     a_lo = jnp.min(jnp.where(inl, posA_m, BIG), axis=1)
     a_hi = jnp.max(jnp.where(inl, posA_m + k, -1), axis=1)
-    b_lo = jnp.min(jnp.where(inl, posB, BIG), axis=1)
-    b_hi = jnp.max(jnp.where(inl, posB + k, -1), axis=1)
-    # refined diagonal: median over inliers only
-    masked2 = jnp.where(inl, diag, BIG)
-    srt2 = jnp.sort(masked2, axis=1)
-    med2_idx = jnp.maximum(n_inl - 1, 0) // 2
-    med2 = jnp.take_along_axis(srt2, med2_idx[:, None], axis=1)[:, 0]
+    b_lo = jnp.min(jnp.where(inl, posB_m, BIG), axis=1)
+    b_hi = jnp.max(jnp.where(inl, posB_m + k, -1), axis=1)
+    med2 = masked_median(diag, inl)
 
     return flipped, med2, n_inl, a_lo, a_hi, b_lo, b_hi
 
@@ -283,9 +274,7 @@ def place_candidates(
     chunk: int = 256,
 ) -> OverlapCandidates:
     """Run stage C on candidate (a_id, b_id) pairs; filter by inlier count."""
-    fk = jnp.asarray(
-        frequent.kmers if frequent is not None and frequent.n else np.zeros(0, np.uint32)
-    )
+    fk = jnp.asarray(_fk_array(frequent))
     seeds0 = jnp.zeros(1, jnp.uint32)  # reserved
     cols: dict[str, list[np.ndarray]] = {
         n: [] for n in ("a_id", "b_id", "flipped", "diag", "n_shared", "a_lo", "a_hi", "b_lo", "b_hi")

@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 INF = 1 << 28  # plain int: jnp arrays captured in a pallas kernel are rejected
-SMAX = 8  # max band shift per row (slope clamp on the band-start schedule)
+SMAX = 4  # max band shift per row (slope clamp on the band-start schedule)
 LANE = 128
 
 

@@ -29,8 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-INF16 = jnp.int32(30000)
-SMAX = 8
+INF16 = 30000  # python int (see align.py note)
+SMAX = 4
 
 
 def _band_starts(centers, b_len, band):

@@ -125,6 +125,14 @@ def run_pipeline(
     with open(ctx.path(f"{prefix}.spec.used"), "w") as fh:
         json.dump(cfg.to_dict(), fh, indent=1, default=str)
 
+    def _hook(name: str) -> None:
+        # onSuccess/onFailure user hooks (Defaults.pm:764-765)
+        cmd = str(cfg.get(name)).strip()
+        if cmd:
+            import subprocess
+
+            subprocess.run([cmd, prefix], cwd=work_dir, check=False)
+
     try:
         if raw_reads is not None:
             stages.correction_phase(ctx, raw_reads)
@@ -137,4 +145,8 @@ def run_pipeline(
         stages.assembly_phase(ctx, trimmed_reads)
     except StopPipeline:
         pass
+    except Exception:
+        _hook("onFailure")
+        raise
+    _hook("onSuccess")
     return ctx

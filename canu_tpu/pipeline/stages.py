@@ -120,7 +120,7 @@ def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
         pairs = MH.find_candidates(sk, min_matches=min_matches, block_size=1024)
         cand = MH.place_candidates(
             rs, pairs, k=k, frequent=fk,
-            min_shared=int(cfg.get(tag + "MinShared")), chunk=256,
+            min_shared=int(cfg.get(tag + "MinShared")), chunk=512,
         )
         ov = AL.verify_overlaps(
             rs, cand,
@@ -203,25 +203,40 @@ def trimming_phase(ctx: AssemblyCtx, corrected_inputs: list[str]) -> None:
         min_ovl = int(ctx.cfg.get("minOverlapLength"))
         from ..io.fastx import write_fasta
 
+        from ..utils.intervals import covered_intervals
+
         records = []
-        n_trimmed = n_dropped = 0
+        n_trimmed = n_dropped = n_split = 0
         for rid in range(1, rs.n_reads + 1):
             o = st.overlaps_for(rid)
             spans = np.stack([o["a_bgn"], o["a_end"]], axis=1)
             spans = spans[(spans[:, 1] - spans[:, 0]) >= min_ovl]
-            bgn, end = largest_covered(spans, min_cov)
-            if end - bgn < min_len:
+            # every well-covered interval becomes a read: coverage gaps
+            # inside a read indicate chimeric junctions / unsplit subreads
+            # (the reference's splitReads role,
+            # /root/reference/src/overlapBasedTrimming/splitReads.H:50)
+            iv = covered_intervals(spans, min_cov)
+            iv = [(int(b), int(e)) for b, e in iv if e - b >= min_len]
+            if not iv:
                 n_dropped += 1
                 continue
-            codes = rs.get_codes(rid)[bgn:end]
-            if end - bgn < int(rs.length[rid - 1]):
-                n_trimmed += 1
-            records.append((f"{rs.name(rid)}_trim_{bgn}_{end}", bitpack.codes_to_seq(codes)))
+            if len(iv) > 1:
+                n_split += 1
+            codes = rs.get_codes(rid)
+            for pi, (bgn, end) in enumerate(iv):
+                if end - bgn < int(rs.length[rid - 1]):
+                    n_trimmed += 1
+                suffix = f"_s{pi}" if len(iv) > 1 else ""
+                records.append(
+                    (f"{rs.name(rid)}_trim_{bgn}_{end}{suffix}",
+                     bitpack.codes_to_seq(codes[bgn:end]))
+                )
         write_fasta(out + ".WORKING.gz", records)
         os.replace(out + ".WORKING.gz", out)
         ctx.report.add(
             "obt.trim",
-            f"kept {len(records)} reads ({n_trimmed} trimmed), dropped {n_dropped}",
+            f"kept {len(records)} reads ({n_trimmed} trimmed, {n_split} split), "
+            f"dropped {n_dropped}",
         )
 
     run_stage(ctx, "trimming", done, fn)
@@ -265,9 +280,20 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
         return TigStore.latest_version(ctg_dir) >= 2
 
     def cns_fn() -> None:
+        from ..ops.consensus import polish_tig
+
         tigs = TigStore.load(ctg_dir, version=1)
+        polish = bool(ctx.cfg.get("cnsPolish"))
         for t in tigs:
-            t.consensus = quick_mosaic(rs, t)
+            backbone = quick_mosaic(rs, t)
+            if polish and t.tig_class == CLASS_CONTIG and t.n_reads >= 2:
+                t.consensus = polish_tig(
+                    rs, t, backbone,
+                    band=int(ctx.cfg.get("utgBandWidth")) * 2,
+                    min_cov=int(ctx.cfg.get("cnsMinCoverage")),
+                )
+            else:
+                t.consensus = backbone
         tigs.save(ctg_dir, version=2)
 
     run_stage(ctx, "consensus", cns_done, cns_fn)
@@ -299,6 +325,11 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
         un = ctx.path(f"{ctx.prefix}.unassembled.fasta")
         write_fasta(un + ".WORKING", unassembled)
         os.replace(un + ".WORKING", un)
+        # the reference also dumps .unitigs.fasta (Output.pm:56-160); our
+        # unitigs ARE the contigs until repeat-splitting diverges them
+        ut = ctx.path(f"{ctx.prefix}.unitigs.fasta")
+        write_fasta(ut + ".WORKING", contigs)
+        os.replace(ut + ".WORKING", ut)
         lay = ctx.path(f"{ctx.prefix}.layout.tsv")
         with open(lay + ".WORKING", "w") as fh:
             fh.write("\n".join(layout_lines) + ("\n" if layout_lines else ""))
@@ -312,5 +343,8 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
             f"{len(contigs)} contigs, {len(unassembled)} unassembled; "
             f"sizes {lens[:10]}",
         )
+        from .html import build_html
+
+        build_html(ctx.work_dir, ctx.prefix)
 
     run_stage(ctx, "outputs", out_done, out_fn)

@@ -1,0 +1,58 @@
+"""Sharded overlap step on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from canu_tpu.ops.hashing import hash_seeds
+from canu_tpu.parallel.mesh import (
+    _count_matches,
+    _local_sketch,
+    make_overlap_mesh,
+    sharded_overlap_step,
+)
+from canu_tpu.sim.simulate import random_genome, simulate_reads
+from canu_tpu.utils.bitpack import n_words
+
+
+def _block(rs, n_reads, W):
+    ids = np.arange(1, min(rs.n_reads, n_reads) + 1)
+    words, lengths = rs.block_words(ids, W)
+    if len(ids) < n_reads:
+        pad = n_reads - len(ids)
+        words = np.vstack([words, np.zeros((pad, W), np.uint32)])
+        lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
+    return words, lengths
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) >= 8
+    mesh = make_overlap_mesh(8)
+    assert mesh.shape == {"r": 4, "h": 2}
+    mesh = make_overlap_mesh(4)
+    assert mesh.shape == {"r": 2, "h": 2}
+
+
+def test_sharded_matches_single_device():
+    g = random_genome(6000, seed=99)
+    rs, _ = simulate_reads(g, coverage=6, mean_len=700, min_len=400, error_rate=0.05, seed=98)
+    N, H, k = 32, 32, 16
+    W = 1 << (n_words(rs.max_length) - 1).bit_length()
+    words, lengths = _block(rs, N, W)
+    seeds = hash_seeds(H)
+    fk = np.full(1, 0xFFFFFFFF, np.uint32)
+
+    mesh = make_overlap_mesh(8)
+    step = sharded_overlap_step(mesh, k=k, min_matches=2)
+    cnt_sharded = np.asarray(
+        step(jnp.asarray(words), jnp.asarray(lengths), jnp.asarray(seeds), jnp.asarray(fk))
+    )
+
+    # single-device reference
+    sk = _local_sketch(jnp.asarray(words), jnp.asarray(lengths), jnp.asarray(seeds), jnp.asarray(fk), k)
+    cnt_ref = np.asarray(_count_matches(sk, sk, 2))
+    np.testing.assert_array_equal(cnt_sharded, cnt_ref)
+    # overlapping reads should actually share sketch slots
+    assert (np.diagonal(cnt_ref)[np.asarray(lengths) > 0] > 0).all()
+    assert (cnt_ref - np.diag(np.diagonal(cnt_ref))).max() > 0
