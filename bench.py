@@ -6,14 +6,14 @@ placement -> Pallas banded verification — once to warm compiles, then
 measures the steady-state wall-clock of a second full pass and reports
 verified overlaps per second per chip.
 
-Baseline: the reference's overlapInCore/MHAP per-CPU-core throughput.
-BASELINE.md gives no direct number; we use a documented estimate of
-2,000 verified overlaps/s/core (E. coli-scale: the reference computes a
-few million overlaps in tens of core-minutes per
-/root/reference/documentation/source/faq.rst:19-21's "about an hour on
-8 cores" whole-assembly figure, of which overlap is roughly half).
-vs_baseline is ours / per-core-baseline; the BASELINE.json target is
->= 20.
+Baseline: the reference's own overlapInCore, compiled from
+/root/reference/src (gcc -O4, run in /tmp) and MEASURED on this very
+dataset (2026-08-17, this machine): 2001 overlaps in 30.4 s single
+thread (-t 1 -k 16 --maxerate 0.24 --minlength 500) = 66 overlaps/s per
+CPU core (14.1 s with -t 8).  vs_baseline is ours / 66; the
+BASELINE.json target is >= 20.  Yields differ slightly (ours verifies
+sketch candidates, the reference extends every k-mer hit), so the rate
+is the honest common denominator.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-BASELINE_OVL_PER_S_PER_CORE = 2000.0
+BASELINE_OVL_PER_S_PER_CORE = 66.0
 
 
 def run_overlap_pass(rs, fk, timing: dict):
