@@ -112,6 +112,10 @@ class Config:
         self._reg("corMinEvidenceLength", 0, int, "min evidence overlap length for correction")
         self._reg("trimMinCoverage", 2, int, "min overlap coverage to keep read bases in trimming")
         self._reg("contigFilterMinReads", 2, int, "tigs with fewer reads are unassembled")
+        self._reg("repeatDetect", True, _bool, "break contigs at confused repeat boundaries (bogart markRepeatReads)")
+        self._reg("repeatMinEvidence", 2, int, "min distinct external reads to call a repeat region")
+        self._reg("repeatConfusedAbsolute", 2100, int, "bogart -ca: external edge within this score of internal -> confused")
+        self._reg("repeatConfusedPercent", 200.0, float, "bogart -cp: external edge within this percent of internal -> confused")
         self._reg("utgGraphDeviation", 6.0, float, "erate deviation filter for best edges (reserved)")
         self._reg("maxMemory", 0, int, "advisory memory cap (GB); 0 = unlimited")
         self._reg("maxThreads", 0, int, "advisory host thread cap; 0 = auto")

@@ -319,38 +319,10 @@ def build_unitigs(
         if tig.tig_class == CLASS_CONTIG and tig.n_reads < min_reads_per_contig:
             tig.tig_class = CLASS_UNASSEMBLED
 
-    _mark_bubbles(tigs, store, tig_of_read)
+    # orphan merge + bubble classification (bogart mergeOrphans,
+    # bogart.C:469-478) — moves fully-placeable small tigs into their
+    # targets, marks partially-placeable ones CLASS_BUBBLE
+    from .orphans import merge_orphans
+
+    tigs, _, _ = merge_orphans(tigs, store, read_lengths)
     return tigs
-
-
-def _mark_bubbles(tigs: TigStore, store: OverlapStore, tig_of_read: np.ndarray) -> None:
-    """Bubble classification (mergeOrphans-lite).
-
-    The reference pops bubbles/orphans by placing a small tig's reads
-    into a larger tig they all overlap (bogart mergeOrphans,
-    /root/reference/src/bogart/AS_BAT_MergeOrphans.C, bogart.C:469-478).
-    Round-1 semantics: a contig whose reads nearly all overlap reads of
-    ONE larger tig is an alternate allele/orphan — classify it
-    CLASS_BUBBLE so it leaves the primary contig set.
-    """
-    from ..stores.tigs import CLASS_BUBBLE
-
-    lengths = {t.tig_id: t.length for t in tigs}
-    for tig in tigs:
-        if tig.tig_class != CLASS_CONTIG:
-            continue
-        votes: dict[int, int] = {}
-        for r in tig.read_id:
-            o = store.overlaps_for(int(r))
-            targets = set()
-            for b in o["b_id"]:
-                tb = int(tig_of_read[int(b)])
-                if tb and tb != tig.tig_id:
-                    targets.add(tb)
-            for tb in targets:
-                votes[tb] = votes.get(tb, 0) + 1
-        if not votes:
-            continue
-        best_t, n = max(votes.items(), key=lambda kv: kv[1])
-        if n >= 0.8 * tig.n_reads and lengths.get(best_t, 0) > tig.length:
-            tig.tig_class = CLASS_BUBBLE

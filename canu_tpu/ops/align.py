@@ -329,15 +329,25 @@ class OverlapTable:
         return self.erate_q.astype(np.float32) / 10000.0
 
 
-@partial(jax.jit, static_argnames=("k", "band", "n_rows", "use_pallas"))
+@partial(jax.jit, static_argnames=("k", "band", "n_rows", "engine"))
 def _verify_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_rows: int,
-                   use_pallas: bool = False):
-    """Anchor + bidirectional banded extension for one chunk of pairs."""
-    extend = banded_extend
-    if use_pallas:
+                   engine: str = "myers"):
+    """Anchor + bidirectional banded extension for one chunk of pairs.
+
+    engine: 'myers' (bit-vector, both directions fused in one batch —
+    the default on every backend), 'pallas_x8' (sublane-packed select/
+    roll kernel), or 'xla' (reference scan implementation).
+    """
+    if engine == "pallas_x8":
         from .pallas.extend_x8 import banded_extend_pallas_x8
 
         extend = partial(banded_extend_pallas_x8, interpret=False)
+    elif engine == "myers":
+        from .myers import banded_extend_myers
+
+        extend = banded_extend_myers
+    else:
+        extend = banded_extend
     aA, aB, n_anchor = _anchor_kernel(wordsA, lenA, wordsB, lenB, flipped, k)
     basesA = unpack_bases(wordsA)
     basesB = orient_bases(unpack_bases(wordsB), lenB, flipped)
@@ -363,7 +373,6 @@ def _verify_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_row
     cen_f = _interp_centers(fa, fb, None, n_rows)
     a_f = _subseq(basesA, seedA, n_rows)
     b_f = _subseq(basesB, seedB, n_rows + band)
-    e_f, au_f, bu_f = extend(a_f, lenA - seedA, b_f, lenB - seedB, cen_f, band, n_rows)
 
     # backward: anchors at indices <= seed_m in reverse order
     idx_b = jnp.maximum(seed_m[:, None] - m_ramp, 0)
@@ -375,17 +384,31 @@ def _verify_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_row
     cen_b = _interp_centers(ba, bb, None, n_rows)
     a_b = _rev_subseq(basesA, seedA, n_rows)
     b_b = _rev_subseq(basesB, seedB, n_rows + band)
-    e_b, au_b, bu_b = extend(a_b, seedA, b_b, seedB, cen_b, band, n_rows)
+
+    # both directions fused into ONE extension batch (half the dispatches;
+    # rows i and Bn+i stay length-homogeneous for the x8 kernel's groups)
+    e, au, bu = extend(
+        jnp.concatenate([a_f, a_b]),
+        jnp.concatenate([lenA - seedA, seedA]),
+        jnp.concatenate([b_f, b_b]),
+        jnp.concatenate([lenB - seedB, seedB]),
+        jnp.concatenate([cen_f, cen_b]),
+        band,
+        n_rows,
+    )
+    e_f, e_b = e[:Bn], e[Bn:]
+    au_f, au_b = au[:Bn], au[Bn:]
+    bu_f, bu_b = bu[:Bn], bu[Bn:]
 
     edits = e_f + e_b
     a_bgn = seedA - au_b
     a_end = seedA + au_f
     b_bgn_o = seedB - bu_b  # oriented-B coords
     b_end_o = seedB + bu_f
-    span = ((a_end - a_bgn) + (b_end_o - b_bgn_o)) / 2.0
-    erate = jnp.where(span > 0, edits / jnp.maximum(span, 1.0), 1.0)
-    ok = (n_anchor > 0) & (span > 0) & (edits < INF)
-    return ok, a_bgn, a_end, b_bgn_o, b_end_o, edits, erate
+    # ONE int32 result tile -> one device->host fetch per chunk
+    return jnp.stack(
+        [n_anchor, a_bgn, a_end, b_bgn_o, b_end_o, jnp.minimum(edits, INF)], axis=1
+    )
 
 
 def verify_overlaps(
@@ -395,17 +418,21 @@ def verify_overlaps(
     band: int = 128,
     max_erate: float = 0.32,
     min_overlap: int = 500,
-    chunk: int = 128,
+    chunk: int = 512,
     use_pallas: Optional[bool] = None,
+    engine: Optional[str] = None,
 ) -> OverlapTable:
     """Verify candidates with the banded extension; returns OverlapTable.
 
     max_erate/min_overlap mirror the reference's ovlErrorRate /
     minOverlapLength gates (/root/reference/src/pipelines/canu/Defaults.pm).
-    use_pallas: None = auto (Pallas kernel on TPU, XLA scan elsewhere).
+    engine: 'myers' (default), 'pallas_x8', or 'xla'; use_pallas=True is
+    accepted as an alias for engine='pallas_x8'.
     """
-    if use_pallas is None:
-        use_pallas = _on_tpu()
+    if engine is None:
+        engine = "pallas_x8" if use_pallas else "myers"
+    if engine == "myers" and band != 128:
+        engine = "pallas_x8" if _on_tpu() else "xla"
     # sort candidates by pair length so the x8 kernel's groups of 8 are
     # homogeneous (a group runs to its longest member's row count)
     if len(cand):
@@ -437,6 +464,9 @@ def verify_overlaps(
         gmax = 1
     W = 1 << max(0, int(n_words(gmax) - 1).bit_length())
     n_rows = W * 16
+    # dispatch every chunk before fetching any result: device queues the
+    # work, host pays one round-trip per chunk instead of a sync each
+    pending: list[tuple[slice, jax.Array]] = []
     for s in range(0, M, chunk):
         sl = slice(s, min(s + chunk, M))
         a_ids = cand.a_id[sl].astype(np.int64)
@@ -452,16 +482,23 @@ def verify_overlaps(
             la = np.concatenate([la, np.zeros(pad, np.int32)])
             lb = np.concatenate([lb, np.zeros(pad, np.int32)])
             fl = np.concatenate([fl, np.zeros(pad, bool)])
-        ok, a_bgn, a_end, b_bgn_o, b_end_o, edits, erate = _verify_kernel(
+        res = _verify_kernel(
             jnp.asarray(wa), jnp.asarray(la), jnp.asarray(wb), jnp.asarray(lb),
-            jnp.asarray(fl), k, band, n_rows, use_pallas,
+            jnp.asarray(fl), k, band, n_rows, engine,
         )
-        ok = np.asarray(ok[:C])
-        a_bgn = np.asarray(a_bgn[:C])
-        a_end = np.asarray(a_end[:C])
-        b_bgn_o = np.asarray(b_bgn_o[:C])
-        b_end_o = np.asarray(b_end_o[:C])
-        erate = np.asarray(erate[:C])
+        pending.append((sl, res))
+    for sl, res in pending:
+        r = np.asarray(res)  # [chunk, 6] int32, one fetch
+        a_ids = cand.a_id[sl].astype(np.int64)
+        b_ids = cand.b_id[sl].astype(np.int64)
+        C = len(a_ids)
+        n_anchor = r[:C, 0]
+        a_bgn, a_end = r[:C, 1], r[:C, 2]
+        b_bgn_o, b_end_o = r[:C, 3], r[:C, 4]
+        edits = r[:C, 5]
+        span_m = ((a_end - a_bgn) + (b_end_o - b_bgn_o)) / 2.0
+        ok = (n_anchor > 0) & (span_m > 0) & (edits < INF)
+        erate = np.where(ok, edits / np.maximum(span_m, 1.0), 1.0)
         flc = cand.flipped[sl]
         lbv = readset.length[b_ids - 1]
         # oriented -> forward-B coords

@@ -282,6 +282,76 @@ class KmerCounts:
         np.add.at(out_c, idx, c)
         return KmerCounts(self.k, u[starts], out_c)
 
+    # ---- database algebra (meryl binary/unary ops) -----------------------
+    # Equivalents of the reference meryl's DB operations
+    # (/root/reference/src/meryl/meryl-binaryOp.C, meryl-unaryOp.C and the
+    # op table in meryl.C: add/sub/min/max/and/or/xor + count filters).
+
+    def _aligned(self, other: "KmerCounts"):
+        """Counts of both DBs over the union key set (0 where absent)."""
+        assert self.k == other.k
+        u = np.union1d(self.unique, other.unique)
+        ca = np.zeros(len(u), np.int64)
+        cb = np.zeros(len(u), np.int64)
+        ca[np.searchsorted(u, self.unique)] = self.counts
+        cb[np.searchsorted(u, other.unique)] = other.counts
+        return u, ca, cb
+
+    def _from_aligned(self, u: np.ndarray, c: np.ndarray) -> "KmerCounts":
+        keep = c > 0
+        return KmerCounts(self.k, u[keep], c[keep])
+
+    def union_sum(self, other: "KmerCounts") -> "KmerCounts":
+        """meryl add: union of keys, counts summed."""
+        return self.merge(other)
+
+    def union_min(self, other: "KmerCounts") -> "KmerCounts":
+        """meryl or+min: union of keys, min of PRESENT counts."""
+        u, ca, cb = self._aligned(other)
+        both = (ca > 0) & (cb > 0)
+        c = np.where(both, np.minimum(ca, cb), ca + cb)
+        return self._from_aligned(u, c)
+
+    def union_max(self, other: "KmerCounts") -> "KmerCounts":
+        """meryl or+max: union of keys, max of counts."""
+        u, ca, cb = self._aligned(other)
+        return self._from_aligned(u, np.maximum(ca, cb))
+
+    def intersect_min(self, other: "KmerCounts") -> "KmerCounts":
+        """meryl and (min): keys in BOTH, min count."""
+        u, ca, cb = self._aligned(other)
+        c = np.where((ca > 0) & (cb > 0), np.minimum(ca, cb), 0)
+        return self._from_aligned(u, c)
+
+    def intersect_max(self, other: "KmerCounts") -> "KmerCounts":
+        u, ca, cb = self._aligned(other)
+        c = np.where((ca > 0) & (cb > 0), np.maximum(ca, cb), 0)
+        return self._from_aligned(u, c)
+
+    def intersect_sum(self, other: "KmerCounts") -> "KmerCounts":
+        u, ca, cb = self._aligned(other)
+        c = np.where((ca > 0) & (cb > 0), ca + cb, 0)
+        return self._from_aligned(u, c)
+
+    def subtract(self, other: "KmerCounts") -> "KmerCounts":
+        """meryl sub: counts subtracted, clipped at 0 (keys vanish at 0)."""
+        u, ca, cb = self._aligned(other)
+        return self._from_aligned(u, np.maximum(ca - cb, 0))
+
+    def difference(self, other: "KmerCounts") -> "KmerCounts":
+        """meryl xor-ish difference: keys of self NOT in other."""
+        u, ca, cb = self._aligned(other)
+        return self._from_aligned(u, np.where(cb == 0, ca, 0))
+
+    def at_least(self, threshold: int) -> "KmerCounts":
+        """meryl -Dt style count filter: keep count >= threshold."""
+        m = self.counts >= threshold
+        return KmerCounts(self.k, self.unique[m], self.counts[m])
+
+    def at_most(self, threshold: int) -> "KmerCounts":
+        m = self.counts <= threshold
+        return KmerCounts(self.k, self.unique[m], self.counts[m])
+
 
 def count_reads(
     readset: ReadSet,

@@ -133,12 +133,18 @@ def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
         st = OverlapStore.build(ov, rs.n_reads)
         st.save(store)
         per_read = st.n_overlaps_per_read()
+        # errorEstimate equivalent: summarize the observed error
+        # distribution (ErrorEstimate.pm role; ours is post-hoc exact)
+        from ..ops.errorest import estimate_error_rates
+
+        est = estimate_error_rates(st.erate)
         ctx.report.add(
             f"{tag}.overlap",
             f"sketch H={n_hashes} mm={min_matches}; candidate pairs {len(pairs)}; "
             f"placed {len(cand)}; verified {st.n_overlaps}; "
             f"median overlaps/read {int(np.median(per_read))}; "
-            f"median erate {float(np.median(st.erate)) if len(st) else 0:.4f}",
+            f"median erate {est.median_erate:.4f}; est read error "
+            f"{est.read_error:.4f}; suggested gate {est.suggested_ovl_erate:.3f}",
         )
 
     run_stage(ctx, f"{tag}-overlap", done, fn)
@@ -267,11 +273,26 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
             min_span=int(ctx.cfg.get("minOverlapLength")),
             min_reads_per_contig=int(ctx.cfg.get("contigFilterMinReads")),
         )
+        n_regions = n_broken = 0
+        if bool(ctx.cfg.get("repeatDetect")):
+            # bogart markRepeatReads + splitDiscontinuous (bogart.C:498-560)
+            from ..graph import mark_repeats
+
+            tigs, regions = mark_repeats(
+                tigs, st, rs.length,
+                min_evidence=int(ctx.cfg.get("repeatMinEvidence")),
+                confused_absolute=float(ctx.cfg.get("repeatConfusedAbsolute")),
+                confused_percent=float(ctx.cfg.get("repeatConfusedPercent")),
+                min_reads_per_contig=int(ctx.cfg.get("contigFilterMinReads")),
+            )
+            n_regions = len(regions)
+            n_broken = sum(1 for r in regions if r.broke)
         tigs.save(ctg_dir, version=1)
         n_contig = sum(1 for t in tigs if t.tig_class == CLASS_CONTIG)
         ctx.report.add(
             "utg.unitig",
-            f"{len(tigs)} tigs ({n_contig} contigs), N50 {tigs.n50()}",
+            f"{len(tigs)} tigs ({n_contig} contigs), N50 {tigs.n50()}; "
+            f"repeat regions {n_regions} ({n_broken} broke a contig)",
         )
 
     run_stage(ctx, "unitig", tigs_done, tigs_fn)
