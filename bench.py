@@ -43,11 +43,10 @@ def run_overlap_pass(rs, fk, timing: dict):
     pairs = MH.find_candidates(sk, min_matches=2, block_size=128)
     timing["match"] = time.time() - t
     t = time.time()
-    cand = MH.place_candidates(rs, pairs, k=16, frequent=fk, min_shared=4, chunk=512)
-    timing["place"] = time.time() - t
-    t = time.time()
+    # orientation + placement are folded into verification (one pass)
     ov = AL.verify_overlaps(
-        rs, cand, band=128, max_erate=0.35, min_overlap=500, chunk=128
+        rs, pairs, band=128, max_erate=0.35, min_overlap=500, chunk=512,
+        min_shared=4,
     )
     timing["verify"] = time.time() - t
     return ov

@@ -32,14 +32,83 @@ def _end_reads(tig):
     )
 
 
+def align_links(
+    tigs: TigStore,
+    links: list[tuple[int, str, int, str, int]],
+    max_erate: float = 0.25,
+    band: int = 128,
+) -> list[tuple[int, str, int, str, int, float]]:
+    """Re-align GFA links against consensus sequences (alignGFA equivalent).
+
+    The reference recomputes every L-line's overlap between the FINAL
+    consensus sequences with edlib and drops unalignable edges
+    (/root/reference/src/gfa/alignGFA.C:170-204).  Here each link's
+    suffix-of-A vs prefix-of-B is re-aligned with the Myers banded
+    extension in one batch; returns (ta, oa, tb, ob, refined_len, erate)
+    for links that align within max_erate.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.myers import banded_extend_myers
+
+    cns = {t.tig_id: t.consensus for t in tigs}
+    rows = []
+    for ta, oa, tb, ob, ov in links:
+        ca, cb = cns.get(ta), cns.get(tb)
+        if ca is None or cb is None or ov <= 0:
+            continue
+        A = ca if oa == "+" else bitpack.revcomp_codes(ca)
+        B = cb if ob == "+" else bitpack.revcomp_codes(cb)
+        # anchored at (0,0): the A-suffix must start exactly where the
+        # estimated overlap does; the band absorbs +-band/2 estimate error
+        ext = min(len(B), ov + band)
+        rows.append((ta, oa, tb, ob, ov, A[len(A) - min(len(A), ov):], B[:ext]))
+    if not rows:
+        return []
+    L = max(max(len(r[5]) for r in rows), max(len(r[6]) for r in rows))
+    L = ((L + 127) // 128) * 128
+    n = len(rows)
+    a = np.zeros((n, L), np.uint8)
+    b = np.zeros((n, L + band), np.uint8)
+    a_len = np.zeros(n, np.int32)
+    b_len = np.zeros(n, np.int32)
+    for i, r in enumerate(rows):
+        a[i, : len(r[5])] = r[5]
+        a_len[i] = len(r[5])
+        b[i, : len(r[6])] = r[6]
+        b_len[i] = len(r[6])
+    centers = np.broadcast_to(
+        np.arange(L + 1, dtype=np.int32)[None, :], (n, L + 1)
+    ).copy()
+    e, au, bu = map(
+        np.asarray,
+        banded_extend_myers(
+            jnp.asarray(a), jnp.asarray(a_len), jnp.asarray(b), jnp.asarray(b_len),
+            jnp.asarray(centers), band, L,
+        ),
+    )
+    out = []
+    for i, (ta, oa, tb, ob, ov, _, _) in enumerate(rows):
+        span = (int(au[i]) + int(bu[i])) / 2.0
+        er = float(e[i]) / max(1.0, span)
+        if span >= min(100, ov) and er <= max_erate:
+            out.append((ta, oa, tb, ob, int(round(span)), er))
+    return out
+
+
 def write_gfa(
     path: str | os.PathLike,
     tigs: TigStore,
     readset: ReadSet,
     store: Optional[OverlapStore] = None,
     contigs_only: bool = True,
+    verify_edges: bool = False,
 ) -> int:
-    """Write tigs (S lines) + inter-tig overlap links (L lines)."""
+    """Write tigs (S lines) + inter-tig overlap links (L lines).
+
+    verify_edges=True re-aligns every link against the consensus
+    sequences (align_links) and drops/refines unsupported ones, like the
+    reference's alignGFA pass (Consensus.pm:583-640)."""
     path = os.fspath(path)
     chosen = [t for t in tigs if (not contigs_only) or t.tig_class == CLASS_CONTIG]
     # read -> (tig, which end, read orientation in tig)
@@ -53,7 +122,33 @@ def write_gfa(
             end_of.setdefault(r1, []).append((t.tig_id, "end", rev1))
 
     n = 0
-    links: set[tuple] = set()
+    seen: set[tuple] = set()
+    links: list[tuple[int, str, int, str, int]] = []
+    if store is not None:
+        for rid, wh in end_of.items():
+            o = store.overlaps_for(rid)
+            for row in range(len(o["a_id"])):
+                b = int(o["b_id"][row])
+                if b not in end_of:
+                    continue
+                for ta, enda, reva in wh:
+                    for tb, endb, revb in end_of[b]:
+                        if ta == tb:
+                            continue
+                        ov_len = int(o["a_end"][row] - o["a_bgn"][row])
+                        # orientation: leaving ta via its end means '+'
+                        oa = "+" if (enda == "end") != reva else "-"
+                        ob = "+" if (endb == "bgn") != (revb ^ bool(o["flipped"][row])) else "-"
+                        key = tuple(sorted([(ta, oa), (tb, ob)])) + (ov_len,)
+                        if key in seen:
+                            continue
+                        seen.add(key)
+                        links.append((ta, oa, tb, ob, ov_len))
+    erate_of: dict[tuple, float] = {}
+    if verify_edges and links:
+        refined = align_links(tigs, links)
+        links = [(ta, oa, tb, ob, ln) for ta, oa, tb, ob, ln, er in refined]
+        erate_of = {(ta, oa, tb, ob): er for ta, oa, tb, ob, ln, er in refined}
     with open(path + ".WORKING", "w") as fh:
         fh.write("H\tVN:Z:1.0\n")
         for t in chosen:
@@ -61,27 +156,9 @@ def write_gfa(
             ln = t.length
             fh.write(f"S\t{names[t.tig_id]}\t{seq}\tLN:i:{ln}\n")
             n += 1
-        if store is not None:
-            for rid, wh in end_of.items():
-                o = store.overlaps_for(rid)
-                for row in range(len(o["a_id"])):
-                    b = int(o["b_id"][row])
-                    if b not in end_of:
-                        continue
-                    for ta, enda, reva in wh:
-                        for tb, endb, revb in end_of[b]:
-                            if ta == tb:
-                                continue
-                            ov_len = int(o["a_end"][row] - o["a_bgn"][row])
-                            # orientation: leaving ta via its end means '+'
-                            oa = "+" if (enda == "end") != reva else "-"
-                            ob = "+" if (endb == "bgn") != (revb ^ bool(o["flipped"][row])) else "-"
-                            key = tuple(sorted([(ta, oa), (tb, ob)])) + (ov_len,)
-                            if key in links:
-                                continue
-                            links.add(key)
-                            fh.write(
-                                f"L\t{names[ta]}\t{oa}\t{names[tb]}\t{ob}\t{ov_len}M\n"
-                            )
+        for ta, oa, tb, ob, ov_len in links:
+            er = erate_of.get((ta, oa, tb, ob))
+            tag = f"\ter:f:{er:.4f}" if er is not None else ""
+            fh.write(f"L\t{names[ta]}\t{oa}\t{names[tb]}\t{ob}\t{ov_len}M{tag}\n")
     os.replace(path + ".WORKING", path)
     return n

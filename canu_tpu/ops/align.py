@@ -214,38 +214,41 @@ def banded_extend(
 # ---- anchor computation -----------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _anchor_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int):
-    """Monotonic shared-kmer anchors for oriented pairs.
+@partial(jax.jit, static_argnames=("k", "orient"))
+def _anchor_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, orient: bool = False):
+    """Monotonic shared-kmer anchors for read pairs.
 
-    Returns (anchorsA int32[B, M], anchorsB int32[B, M], n_anchor int32[B])
-    positions in A / oriented-B coordinates, padded with -1, M=MAX_ANCHORS.
-    Matches come from the one-sort adjacency join (canu_tpu.ops.kmerjoin).
+    Returns (anchorsA int32[B, M], anchorsB int32[B, M], n_anchor int32[B],
+    flipped bool[B]) — positions in A / oriented-B coordinates, padded
+    with -1, M=MAX_ANCHORS.  Matches come from the one-sort adjacency
+    join (canu_tpu.ops.kmerjoin) over canonical k-mers of FORWARD B, so
+    one join serves both orientations: a match supports forward when the
+    two strand flags agree, reverse when they differ (the role of MHAP's
+    ordered-sketch orientation vote).  With orient=True the majority
+    decides `flipped` (the incoming value is ignored); otherwise the
+    caller's flipped is used.
     """
     from .kmerjoin import masked_median, pair_matches
 
     canonA, strandA = extract_kmers(wordsA, lenA, k)
-    basesB = orient_bases(unpack_bases(wordsB), lenB, flipped)
-    B_, L = basesB.shape
-    P = L - k + 1
-    fwB = jnp.zeros((B_, P), dtype=jnp.uint32)
-    for j in range(k):
-        fwB = (fwB << 2) | basesB[:, j : j + P].astype(jnp.uint32)
-    from .kmer import revcomp_kmer
-
-    rcB = revcomp_kmer(fwB, k)
-    canonB = jnp.minimum(fwB, rcB)
-    strandB = rcB < fwB
-    posP = jnp.arange(P, dtype=jnp.int32)[None, :]
-    validB = posP <= (lenB[:, None] - k)
+    canonB, strandB = extract_kmers(wordsB, lenB, k)
+    P = canonA.shape[1]
+    validB = canonB != INVALID_KMER
     validA = canonA != INVALID_KMER
+    posP = jnp.arange(P, dtype=jnp.int32)[None, :]
     pos = jnp.broadcast_to(posP, canonA.shape).astype(jnp.int32)
 
     hit, posA_m, posB_m, agree = pair_matches(
         canonA, validA, strandA, pos, canonB, validB, strandB, pos
     )
-    # oriented B: a true match has equal forward kmers <=> equal strand flags
-    hit = hit & agree
+    if orient:
+        n_same = jnp.sum((hit & agree).astype(jnp.int32), axis=1)
+        n_opp = jnp.sum((hit & ~agree).astype(jnp.int32), axis=1)
+        flipped = n_opp > n_same
+    # positions on the ORIENTED B: rc flips the k-mer window start
+    posB_m = jnp.where(flipped[:, None], lenB[:, None] - k - posB_m, posB_m)
+    # matches consistent with the chosen orientation
+    hit = hit & (agree != flipped[:, None])
     W2 = hit.shape[1]
 
     diag = posA_m - posB_m
@@ -261,7 +264,7 @@ def _anchor_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int):
     valid_s = keyA_s != BIG
     pb = jnp.where(valid_s, posB_s, -1)
     cm = jax.lax.associative_scan(jnp.maximum, pb, axis=1)
-    cm_prev = jnp.concatenate([jnp.full((B_, 1), -1, jnp.int32), cm[:, :-1]], axis=1)
+    cm_prev = jnp.concatenate([jnp.full((pb.shape[0], 1), -1, jnp.int32), cm[:, :-1]], axis=1)
     keep = valid_s & (pb > cm_prev)
 
     n_keep = jnp.sum(keep.astype(jnp.int32), axis=1)
@@ -277,11 +280,11 @@ def _anchor_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int):
     cols_c = jnp.clip(cols, 0, W2 - 1)
     aA = jnp.where(valid_a, jnp.take_along_axis(keyA_s, cols_c, axis=1), -1)
     aB = jnp.where(valid_a, jnp.take_along_axis(posB_s, cols_c, axis=1), -1)
-    dup = jnp.concatenate([jnp.zeros((B_, 1), bool), aB[:, 1:] == aB[:, :-1]], axis=1)
+    dup = jnp.concatenate([jnp.zeros((aB.shape[0], 1), bool), aB[:, 1:] == aB[:, :-1]], axis=1)
     aA = jnp.where(dup, -1, aA)
     aB = jnp.where(dup, -1, aB)
     n_anchor = jnp.sum((aA >= 0).astype(jnp.int32), axis=1)
-    return aA, aB, n_anchor
+    return aA, aB, n_anchor, flipped
 
 
 def _interp_centers(sub_xa, sub_xb, n_sub, n_rows):
@@ -329,14 +332,16 @@ class OverlapTable:
         return self.erate_q.astype(np.float32) / 10000.0
 
 
-@partial(jax.jit, static_argnames=("k", "band", "n_rows", "engine"))
+@partial(jax.jit, static_argnames=("k", "band", "n_rows", "engine", "orient"))
 def _verify_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_rows: int,
-                   engine: str = "myers"):
+                   engine: str = "myers", orient: bool = False):
     """Anchor + bidirectional banded extension for one chunk of pairs.
 
     engine: 'myers' (bit-vector, both directions fused in one batch —
     the default on every backend), 'pallas_x8' (sublane-packed select/
     roll kernel), or 'xla' (reference scan implementation).
+    orient=True determines each pair's orientation from the k-mer strand
+    vote (place_candidates folded in); flipped input is then ignored.
     """
     if engine == "pallas_x8":
         from .pallas.extend_x8 import banded_extend_pallas_x8
@@ -348,7 +353,9 @@ def _verify_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_row
         extend = banded_extend_myers
     else:
         extend = banded_extend
-    aA, aB, n_anchor = _anchor_kernel(wordsA, lenA, wordsB, lenB, flipped, k)
+    aA, aB, n_anchor, flipped = _anchor_kernel(
+        wordsA, lenA, wordsB, lenB, flipped, k, orient
+    )
     basesA = unpack_bases(wordsA)
     basesB = orient_bases(unpack_bases(wordsB), lenB, flipped)
 
@@ -407,13 +414,14 @@ def _verify_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_row
     b_end_o = seedB + bu_f
     # ONE int32 result tile -> one device->host fetch per chunk
     return jnp.stack(
-        [n_anchor, a_bgn, a_end, b_bgn_o, b_end_o, jnp.minimum(edits, INF)], axis=1
+        [n_anchor, a_bgn, a_end, b_bgn_o, b_end_o, jnp.minimum(edits, INF),
+         flipped.astype(jnp.int32)], axis=1
     )
 
 
 def verify_overlaps(
     readset: ReadSet,
-    cand: OverlapCandidates,
+    cand,
     k: int = 16,
     band: int = 128,
     max_erate: float = 0.32,
@@ -421,8 +429,15 @@ def verify_overlaps(
     chunk: int = 512,
     use_pallas: Optional[bool] = None,
     engine: Optional[str] = None,
+    min_shared: int = 4,
 ) -> OverlapTable:
     """Verify candidates with the banded extension; returns OverlapTable.
+
+    cand is either OverlapCandidates (orientation already voted by
+    place_candidates) or a raw int array [M, >=2] of (a_id, b_id) pairs
+    straight from find_candidates — then the anchor kernel votes the
+    orientation itself (place_candidates folded into verification) and
+    pairs with fewer than min_shared chain anchors are dropped.
 
     max_erate/min_overlap mirror the reference's ovlErrorRate /
     minOverlapLength gates (/root/reference/src/pipelines/canu/Defaults.pm).
@@ -433,31 +448,33 @@ def verify_overlaps(
         engine = "pallas_x8" if use_pallas else "myers"
     if engine == "myers" and band != 128:
         engine = "pallas_x8" if _on_tpu() else "xla"
+    orient = isinstance(cand, np.ndarray)
+    if orient:
+        a_id_all = cand[:, 0].astype(np.int64)
+        b_id_all = cand[:, 1].astype(np.int64)
+        fl_all = np.zeros(len(cand), bool)
+    else:
+        a_id_all = cand.a_id.astype(np.int64)
+        b_id_all = cand.b_id.astype(np.int64)
+        fl_all = cand.flipped
     # sort candidates by pair length so the x8 kernel's groups of 8 are
     # homogeneous (a group runs to its longest member's row count)
-    if len(cand):
+    if len(a_id_all):
         ln = np.maximum(
-            readset.length[cand.a_id.astype(np.int64) - 1],
-            readset.length[cand.b_id.astype(np.int64) - 1],
+            readset.length[a_id_all - 1], readset.length[b_id_all - 1]
         )
         order = np.argsort(-ln, kind="stable")
-        from dataclasses import replace as _replace
-
-        cand = OverlapCandidates(
-            **{f: getattr(cand, f)[order] for f in (
-                "a_id", "b_id", "flipped", "diag", "n_shared",
-                "a_lo", "a_hi", "b_lo", "b_hi")}
-        )
+        a_id_all, b_id_all, fl_all = a_id_all[order], b_id_all[order], fl_all[order]
     cols: dict[str, list] = {n: [] for n in (
         "a_id", "b_id", "flipped", "a_bgn", "a_end", "b_bgn", "b_end", "erate_q")}
-    M = len(cand)
+    M = len(a_id_all)
     # ONE shape for the whole call: compiles are expensive (remote-compiled
     # on the axon tunnel), so bucket n_rows by the global longest read.
     if M:
         gmax = int(
             max(
-                readset.length[cand.a_id.astype(np.int64) - 1].max(),
-                readset.length[cand.b_id.astype(np.int64) - 1].max(),
+                readset.length[a_id_all - 1].max(),
+                readset.length[b_id_all - 1].max(),
             )
         )
     else:
@@ -469,12 +486,12 @@ def verify_overlaps(
     pending: list[tuple[slice, jax.Array]] = []
     for s in range(0, M, chunk):
         sl = slice(s, min(s + chunk, M))
-        a_ids = cand.a_id[sl].astype(np.int64)
-        b_ids = cand.b_id[sl].astype(np.int64)
+        a_ids = a_id_all[sl]
+        b_ids = b_id_all[sl]
         C = len(a_ids)
         wa, la = readset.block_words(a_ids, W)
         wb, lb = readset.block_words(b_ids, W)
-        fl = cand.flipped[sl]
+        fl = fl_all[sl]
         if C < chunk:
             pad = chunk - C
             wa = np.vstack([wa, np.zeros((pad, W), np.uint32)])
@@ -484,22 +501,22 @@ def verify_overlaps(
             fl = np.concatenate([fl, np.zeros(pad, bool)])
         res = _verify_kernel(
             jnp.asarray(wa), jnp.asarray(la), jnp.asarray(wb), jnp.asarray(lb),
-            jnp.asarray(fl), k, band, n_rows, engine,
+            jnp.asarray(fl), k, band, n_rows, engine, orient,
         )
         pending.append((sl, res))
     for sl, res in pending:
-        r = np.asarray(res)  # [chunk, 6] int32, one fetch
-        a_ids = cand.a_id[sl].astype(np.int64)
-        b_ids = cand.b_id[sl].astype(np.int64)
+        r = np.asarray(res)  # [chunk, 7] int32, one fetch
+        a_ids = a_id_all[sl]
+        b_ids = b_id_all[sl]
         C = len(a_ids)
         n_anchor = r[:C, 0]
         a_bgn, a_end = r[:C, 1], r[:C, 2]
         b_bgn_o, b_end_o = r[:C, 3], r[:C, 4]
         edits = r[:C, 5]
         span_m = ((a_end - a_bgn) + (b_end_o - b_bgn_o)) / 2.0
-        ok = (n_anchor > 0) & (span_m > 0) & (edits < INF)
+        ok = (n_anchor >= (min_shared if orient else 1)) & (span_m > 0) & (edits < INF)
         erate = np.where(ok, edits / np.maximum(span_m, 1.0), 1.0)
-        flc = cand.flipped[sl]
+        flc = r[:C, 6].astype(bool)
         lbv = readset.length[b_ids - 1]
         # oriented -> forward-B coords
         b_bgn_f = np.where(flc, lbv - b_end_o, b_bgn_o)

@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8 moved shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from ..ops.hashing import mix32
 from ..ops.kmer import INVALID_KMER, extract_kmers
@@ -91,7 +95,7 @@ def sharded_overlap_step(mesh: Mesh, k: int = 16, min_matches: int = 3):
         mesh=mesh,
         in_specs=(P("r", None), P("r"), P("h"), P()),
         out_specs=P("r", None),
-        check_rep=False,
+        check_vma=False,
     )
     def step(words, lengths, seeds_local, fk):
         sk_h = _local_sketch(words, lengths, seeds_local, fk, k)  # [B_loc, H_loc]
@@ -123,7 +127,7 @@ def sharded_pipeline_step(mesh: Mesh, k: int = 16, band: int = 128):
         mesh=mesh,
         in_specs=(P("r", None), P("r"), P("h"), P()),
         out_specs=(P("r", None), P(), P("r")),
-        check_rep=False,
+        check_vma=False,
     )
     def step(words, lengths, seeds_local, fk):
         # 1. k-mer spectrum: local count + global psum (meryl equivalent)

@@ -1,0 +1,124 @@
+"""Distributed overlap-store sort: bucketize -> all_to_all -> local sort.
+
+The reference builds its overlap store with a disk-based distributed
+sort: ovStoreBucketizer scatters each overlapper output into per-slice
+files, ovStoreSorter gathers one slice from every bucket and sorts it,
+ovStoreIndexer merges the indexes (/root/reference/src/stores/
+ovStoreBucketizer.C:50-71, ovStoreSorter.C:202-245; call sequence
+SURVEY.md §3.3).  On a device mesh the shuffle is ONE all_to_all over
+the ICI and the per-slice sort is a device sort — no filesystem.
+
+Rows are sharded across a flat 'd' mesh axis; the destination shard of
+a row is its a_id range slice (same keying as the reference's slices).
+Fixed-capacity buckets keep shapes static: `cap` rows per (src, dst)
+bucket; the overflow count is returned so the caller can re-run with a
+bigger cap (the reference's config step solves the same problem by
+measuring file sizes first, OverlapStore.pm:143-172).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8 moved shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def make_flat_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), ("d",))
+
+
+def sharded_sort_overlaps(mesh: Mesh, n_reads: int, cap: int):
+    """Build the jittable distributed store sort.
+
+    step(rows int32[N, C]) with column 0 = a_id (1-based), rows sharded
+    over 'd'.  Returns (sorted int32[N_shard_cap..., C] rows re-sharded
+    by a_id range and sorted by (a_id, b_id) within each shard with
+    invalid slots a_id=INT32_MAX, n_overflow int32).
+
+    cap = per-(src,dst) bucket capacity; N/n_dev rows enter each device,
+    n_dev*cap slots leave it.
+    """
+    n_dev = mesh.shape["d"]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("d", None),),
+        out_specs=(P("d", None), P()),
+        check_vma=False,
+    )
+    def step(rows):
+        B, C = rows.shape  # local rows
+        BIG = jnp.int32(np.iinfo(np.int32).max)
+        a_id = rows[:, 0]
+        valid = a_id > 0
+        # destination shard by a_id range (the reference's slice key)
+        dest = jnp.clip(
+            ((a_id.astype(jnp.int64) - 1) * n_dev) // max(1, n_reads), 0, n_dev - 1
+        ).astype(jnp.int32)
+        dest = jnp.where(valid, dest, n_dev)  # invalid rows go nowhere
+        # slot within the destination bucket: rank among same-dest rows
+        # (stable sort by dest, position minus run start)
+        idx = jnp.arange(B, dtype=jnp.int32)
+        order = jnp.argsort(dest, stable=True)
+        dsorted = dest[order]
+        is_start = jnp.concatenate([jnp.ones(1, bool), dsorted[1:] != dsorted[:-1]])
+        run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, idx, -1))
+        pos_in_run = idx - run_start
+        slot = jnp.zeros(B, jnp.int32).at[order].set(pos_in_run)
+        overflow = jnp.sum((slot >= cap) & valid)
+        # scatter rows into [n_dev, cap, C] buckets
+        buckets = jnp.full((n_dev, cap, C), BIG, jnp.int32)
+        okslot = jnp.minimum(slot, cap - 1)
+        okdest = jnp.minimum(dest, n_dev - 1)
+        write_ok = valid & (slot < cap)
+        buckets = buckets.at[okdest, okslot].set(
+            jnp.where(write_ok[:, None], rows, BIG), mode="drop"
+        )
+        # the shuffle: one all_to_all replaces the bucket files on disk —
+        # gathered[s] = the bucket source s filled for THIS device
+        gathered = jax.lax.all_to_all(
+            buckets, "d", split_axis=0, concat_axis=0, tiled=True
+        )  # [n_dev, cap, C]
+        flat = gathered.reshape(n_dev * cap, C)
+        # local sort by (a_id, b_id): single key from two columns
+        key = flat[:, 0].astype(jnp.int64) * (n_reads + 2) + flat[:, 1].astype(jnp.int64)
+        order2 = jnp.argsort(key)
+        out = flat[order2]
+        overflow = jax.lax.psum(overflow, "d")
+        return out, overflow
+
+    return jax.jit(step)
+
+
+def distributed_store_sort(rows: np.ndarray, n_reads: int, mesh: Mesh | None = None,
+                           cap: int | None = None):
+    """Host wrapper: pad rows to the mesh, run the sharded sort, strip
+    padding.  Returns rows sorted by (a_id, b_id) — the contract of
+    OverlapStore.build's lexsort, computed with mesh collectives."""
+    mesh = mesh or make_flat_mesh()
+    n_dev = mesh.shape["d"]
+    N, C = rows.shape
+    per = (N + n_dev - 1) // n_dev
+    if cap is None:
+        # worst case: every local row targets one shard
+        cap = per
+    padded = np.zeros((per * n_dev, C), np.int32)
+    padded[:N] = rows
+    step = sharded_sort_overlaps(mesh, n_reads, cap)
+    out, overflow = step(jnp.asarray(padded))
+    if int(overflow) > 0:
+        raise RuntimeError(f"bucket overflow: {int(overflow)} rows; raise cap")
+    out = np.asarray(out)
+    BIG = np.iinfo(np.int32).max
+    return out[out[:, 0] != BIG]

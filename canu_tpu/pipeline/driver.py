@@ -61,6 +61,11 @@ def make_ctx(work_dir: str, prefix: str, cfg: Config) -> AssemblyCtx:
     os.makedirs(work_dir, exist_ok=True)
     logs = os.path.join(work_dir, "canu-logs")
     os.makedirs(logs, exist_ok=True)
+    # AS_global-equivalent process init: invocation audit + crash catcher
+    from ..utils.runtime import audit_invocation, install_crash_catcher
+
+    audit_invocation(logs, "canu_tpu")
+    install_crash_catcher(logs)
     logger = logging.getLogger(f"canu_tpu.{prefix}")
     if not logger.handlers:
         logger.setLevel(logging.INFO)
@@ -148,5 +153,12 @@ def run_pipeline(
     except Exception:
         _hook("onFailure")
         raise
+    from ..utils.runtime import rusage
+
+    ru = rusage()
+    ctx.log.info(
+        f"pipeline finished: cpu {ru['utime_s']:.1f}s user / "
+        f"{ru['stime_s']:.1f}s sys, peak rss {ru['max_rss_mb']:.0f} MB"
+    )
     _hook("onSuccess")
     return ctx

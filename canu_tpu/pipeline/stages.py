@@ -118,17 +118,16 @@ def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
         n_hashes, min_matches = cfg.sketch_preset(tag, coverage)
         sk = MH.build_sketches(rs, k=k, n_hashes=n_hashes, frequent=fk, block_size=256)
         pairs = MH.find_candidates(sk, min_matches=min_matches, block_size=1024)
-        cand = MH.place_candidates(
-            rs, pairs, k=k, frequent=fk,
-            min_shared=int(cfg.get(tag + "MinShared")), chunk=512,
-        )
+        # orientation vote + anchor chains + banded verification in ONE
+        # device pass (place_candidates is folded into verify_overlaps)
         ov = AL.verify_overlaps(
-            rs, cand,
+            rs, pairs,
             k=k,
             band=int(cfg.get(tag + "BandWidth")),
             max_erate=float(cfg.get(tag + "OvlErrorRate")),
             min_overlap=int(cfg.get("minOverlapLength")),
-            chunk=128,
+            chunk=512,
+            min_shared=int(cfg.get(tag + "MinShared")),
         )
         st = OverlapStore.build(ov, rs.n_reads)
         st.save(store)
@@ -141,7 +140,7 @@ def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
         ctx.report.add(
             f"{tag}.overlap",
             f"sketch H={n_hashes} mm={min_matches}; candidate pairs {len(pairs)}; "
-            f"placed {len(cand)}; verified {st.n_overlaps}; "
+            f"verified {st.n_overlaps}; "
             f"median overlaps/read {int(np.median(per_read))}; "
             f"median erate {est.median_erate:.4f}; est read error "
             f"{est.read_error:.4f}; suggested gate {est.suggested_ovl_erate:.3f}",
@@ -357,7 +356,8 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
         os.replace(lay + ".WORKING", lay)
         from ..io.gfa import write_gfa
 
-        write_gfa(ctx.path(f"{ctx.prefix}.contigs.gfa"), tigs, rs, st)
+        write_gfa(ctx.path(f"{ctx.prefix}.contigs.gfa"), tigs, rs, st,
+                  verify_edges=True)
         lens = sorted((len(s) for _, s in contigs), reverse=True)
         ctx.report.add(
             "utg.output",

@@ -185,3 +185,35 @@ def test_pipeline_recall_and_precision():
     # verified erates should center near the expected pairwise rate (~0.19)
     med_er = float(np.median(ov.erate))
     assert 0.1 < med_er < 0.3, med_er
+
+
+def test_verify_orient_mode_matches_placed_path():
+    """Raw (a,b) pairs into verify_overlaps (orientation voted in-kernel,
+    place_candidates folded in) must find the same overlaps as the
+    explicit place -> verify path."""
+    g = random_genome(20_000, seed=15)
+    rs, truth = simulate_reads(
+        g, coverage=8, mean_len=2500, min_len=800, error_rate=0.10, seed=16, circular=False
+    )
+    kc = K.count_readset_device(rs, k=16, block_size=64)
+    fk = K.frequent_kmers(kc, distinct_fraction=0.9995)
+    sk = MH.build_sketches(rs, k=16, n_hashes=512, frequent=fk, block_size=64)
+    pairs = MH.find_candidates(sk, min_matches=2, block_size=64)
+
+    cand = MH.place_candidates(rs, pairs, k=16, frequent=fk, min_shared=4, chunk=64)
+    ov_placed = AL.verify_overlaps(rs, cand, band=128, max_erate=0.35, min_overlap=700, chunk=64)
+    ov_raw = AL.verify_overlaps(
+        rs, pairs, band=128, max_erate=0.35, min_overlap=700, chunk=64, min_shared=4
+    )
+
+    placed = {(int(a), int(b)) for a, b in zip(ov_placed.a_id, ov_placed.b_id)}
+    raw = {(int(a), int(b), bool(f)) for a, b, f in zip(ov_raw.a_id, ov_raw.b_id, ov_raw.flipped)}
+    raw_pairs = {(a, b) for a, b, _ in raw}
+    # same pair set modulo a small fringe (different anchor subsampling)
+    sym = placed ^ raw_pairs
+    assert len(sym) <= 0.05 * max(1, len(placed)), (len(sym), len(placed))
+    # orientations must agree with the placed path wherever both kept the pair
+    placed_fl = {(int(a), int(b)): bool(f) for a, b, f in zip(ov_placed.a_id, ov_placed.b_id, ov_placed.flipped)}
+    for a, b, f in raw:
+        if (a, b) in placed_fl:
+            assert placed_fl[(a, b)] == f, (a, b)

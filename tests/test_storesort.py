@@ -1,0 +1,33 @@
+"""Distributed overlap-store sort on the virtual 8-device mesh
+(ovStoreBucketizer/Sorter/Indexer equivalent: all_to_all + device sort)."""
+
+import numpy as np
+
+from canu_tpu.io.overlaps_io import random_overlaps
+from canu_tpu.parallel.launch import all_host_shards, host_read_shard
+from canu_tpu.parallel.storesort import distributed_store_sort, make_flat_mesh
+
+
+def test_distributed_sort_matches_lexsort():
+    t = random_overlaps(5000, n_reads=400, seed=9)
+    rows = np.stack([t.a_id, t.b_id, t.a_bgn, t.a_end], axis=1).astype(np.int32)
+    mesh = make_flat_mesh(8)
+    out = distributed_store_sort(rows, n_reads=400, mesh=mesh)
+    assert out.shape == rows.shape
+    ref = rows[np.lexsort((rows[:, 1], rows[:, 0]))]
+    assert np.array_equal(out, ref)
+
+
+def test_distributed_sort_empty_and_small():
+    mesh = make_flat_mesh(8)
+    rows = np.array([[3, 1, 0, 10], [1, 2, 0, 5], [3, 0, 0, 1]], np.int32)
+    out = distributed_store_sort(rows, n_reads=4, mesh=mesh)
+    assert out[:, 0].tolist() == [1, 3, 3]
+
+
+def test_host_shards_cover_everything():
+    shards = all_host_shards(1003, 4)
+    ids = [i for s in shards for i in range(s.lo, s.hi)]
+    assert ids == list(range(1, 1004))
+    s = host_read_shard(10, 3, 4)
+    assert s.n_local >= 0
