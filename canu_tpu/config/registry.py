@@ -112,6 +112,9 @@ class Config:
         self._reg("corMinEvidenceLength", 0, int, "min evidence overlap length for correction")
         self._reg("trimMinCoverage", 2, int, "min overlap coverage to keep read bases in trimming")
         self._reg("contigFilterMinReads", 2, int, "tigs with fewer reads are unassembled")
+        self._reg("enableOEA", True, _bool, "overlap error adjustment: RED read-error voting + OEA erate recompute")
+        self._reg("oeaMinAltVotes", 4, int, "RED: min evidence votes for an alternative base to call an error")
+        self._reg("oeaMaxOwnVotes", 1, int, "RED: max evidence votes for the read's own base at an error")
         self._reg("repeatDetect", True, _bool, "break contigs at confused repeat boundaries (bogart markRepeatReads)")
         self._reg("repeatMinEvidence", 2, int, "min distinct external reads to call a repeat region")
         self._reg("repeatConfusedAbsolute", 2100, int, "bogart -ca: external edge within this score of internal -> confused")

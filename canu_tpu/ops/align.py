@@ -332,34 +332,22 @@ class OverlapTable:
         return self.erate_q.astype(np.float32) / 10000.0
 
 
-@partial(jax.jit, static_argnames=("k", "band", "n_rows", "engine", "orient"))
-def _verify_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_rows: int,
-                   engine: str = "myers", orient: bool = False):
-    """Anchor + bidirectional banded extension for one chunk of pairs.
+@partial(jax.jit, static_argnames=("k", "band", "n_rows", "orient"))
+def _verify_pre(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_rows: int,
+                orient: bool = False):
+    """Anchors + seeds + fused fwd/bwd extension INPUTS for one chunk.
 
-    engine: 'myers' (bit-vector, both directions fused in one batch —
-    the default on every backend), 'pallas_x8' (sublane-packed select/
-    roll kernel), or 'xla' (reference scan implementation).
     orient=True determines each pair's orientation from the k-mer strand
     vote (place_candidates folded in); flipped input is then ignored.
+    The extension itself is dispatched by the caller at host level so
+    the (segmented) Myers kernel keeps its own small compiled programs.
     """
-    if engine == "pallas_x8":
-        from .pallas.extend_x8 import banded_extend_pallas_x8
-
-        extend = partial(banded_extend_pallas_x8, interpret=False)
-    elif engine == "myers":
-        from .myers import banded_extend_myers
-
-        extend = banded_extend_myers
-    else:
-        extend = banded_extend
     aA, aB, n_anchor, flipped = _anchor_kernel(
         wordsA, lenA, wordsB, lenB, flipped, k, orient
     )
     basesA = unpack_bases(wordsA)
     basesB = orient_bases(unpack_bases(wordsB), lenB, flipped)
 
-    Bn = wordsA.shape[0]
     m_ramp = jnp.arange(MAX_ANCHORS, dtype=jnp.int32)[None, :]
     seed_m = jnp.maximum(n_anchor - 1, 0) // 2
     seedA = jnp.take_along_axis(aA, seed_m[:, None], axis=1)[:, 0]
@@ -394,19 +382,23 @@ def _verify_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_row
 
     # both directions fused into ONE extension batch (half the dispatches;
     # rows i and Bn+i stay length-homogeneous for the x8 kernel's groups)
-    e, au, bu = extend(
+    ext_in = (
         jnp.concatenate([a_f, a_b]),
         jnp.concatenate([lenA - seedA, seedA]),
         jnp.concatenate([b_f, b_b]),
         jnp.concatenate([lenB - seedB, seedB]),
         jnp.concatenate([cen_f, cen_b]),
-        band,
-        n_rows,
     )
+    return ext_in, n_anchor, flipped, seedA, seedB
+
+
+@jax.jit
+def _verify_post(n_anchor, flipped, seedA, seedB, e, au, bu):
+    """Fold the fused extension results into one int32 result tile."""
+    Bn = n_anchor.shape[0]
     e_f, e_b = e[:Bn], e[Bn:]
     au_f, au_b = au[:Bn], au[Bn:]
     bu_f, bu_b = bu[:Bn], bu[Bn:]
-
     edits = e_f + e_b
     a_bgn = seedA - au_b
     a_end = seedA + au_f
@@ -417,6 +409,31 @@ def _verify_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_row
         [n_anchor, a_bgn, a_end, b_bgn_o, b_end_o, jnp.minimum(edits, INF),
          flipped.astype(jnp.int32)], axis=1
     )
+
+
+def _verify_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_rows: int,
+                   engine: str = "myers", orient: bool = False,
+                   max_rows: int | None = None):
+    """Anchor + bidirectional banded extension for one chunk of pairs.
+
+    engine: 'myers' (segmented bit-vector kernel, host-orchestrated —
+    the default on every backend), 'pallas_x8' (sublane-packed select/
+    roll kernel), or 'xla' (reference scan implementation).
+    """
+    ext_in, n_anchor, flipped, seedA, seedB = _verify_pre(
+        wordsA, lenA, wordsB, lenB, flipped, k, band, n_rows, orient
+    )
+    if engine == "pallas_x8":
+        from .pallas.extend_x8 import banded_extend_pallas_x8
+
+        e, au, bu = banded_extend_pallas_x8(*ext_in, band, n_rows)
+    elif engine == "myers":
+        from .myers import banded_extend_myers
+
+        e, au, bu = banded_extend_myers(*ext_in, band, n_rows, max_rows=max_rows)
+    else:
+        e, au, bu = banded_extend(*ext_in, band, n_rows)
+    return _verify_post(n_anchor, flipped, seedA, seedB, e, au, bu)
 
 
 def verify_overlaps(
@@ -499,9 +516,13 @@ def verify_overlaps(
             la = np.concatenate([la, np.zeros(pad, np.int32)])
             lb = np.concatenate([lb, np.zeros(pad, np.int32)])
             fl = np.concatenate([fl, np.zeros(pad, bool)])
+        # chunks are sorted longest-first: rows needed = this chunk's max
+        # read length, so later chunks skip most extension segments
+        chunk_rows = int(max(la.max(initial=1), lb.max(initial=1)))
         res = _verify_kernel(
             jnp.asarray(wa), jnp.asarray(la), jnp.asarray(wb), jnp.asarray(lb),
             jnp.asarray(fl), k, band, n_rows, engine, orient,
+            max_rows=chunk_rows,
         )
         pending.append((sl, res))
     for sl, res in pending:

@@ -9,11 +9,14 @@ TPU VPU:
   * ONE PAIR PER LANE: every quantity is a plain elementwise uint32 op,
     so a [B]-wide batch uses the full 8x128-lane VPU with zero cross-lane
     traffic (no rolls, no per-sublane selects, no gathers in the loop);
-  * the 128-column band is 4 uint32 words per pair; words are chained
-    exactly like edlib's blocks: only a +/-1 horizontal delta (hin/hout)
-    crosses a word boundary, so the 128-bit add never materializes;
-  * 128 DP cells update in ~25 bit-ops per word chain — ~0.1 vector op
-    per DP cell versus ~1 op per cell for the select/roll kernel;
+  * the 128-column band is 4 uint32 WORD PLANES, each its own [B] array
+    (a [B, 4] layout would put 4 elements on the 128-lane minor dim —
+    catastrophic for Mosaic/XLA layout); words chain exactly like
+    edlib's blocks: only a +/-1 horizontal delta (hin/hout) crosses a
+    word boundary, so the 128-bit add never materializes;
+  * 128 DP cells update in ~60 bit-ops per word chain — ~0.5 vector op
+    per DP cell-row versus ~1+ op per cell for the select/roll kernel,
+    on [B]-wide vectors;
   * the band follows the anchor chain like banded_extend, but with a
     slope clamp of 1 column/row (a shift is then a single conditional
     word-chain >>1 with a per-lane bit insert — again elementwise);
@@ -54,46 +57,242 @@ def _band_schedule(centers: jax.Array, b_len: jax.Array, band: int) -> jax.Array
     return o
 
 
-def _pack_bits(bits: jax.Array) -> jax.Array:
-    """bool[B, NW*32] -> uint32[B, NW] (bit u of word k = bits[:, 32k+u])."""
+def _pack_bits(bits: jax.Array) -> tuple[jax.Array, ...]:
+    """bool[B, NW*32] -> NW uint32[B] word planes (bit u of word k =
+    bits[:, 32k+u])."""
     B = bits.shape[0]
     b3 = bits.reshape(B, NW, WORD).astype(jnp.uint32)
     sh = jnp.arange(WORD, dtype=jnp.uint32)[None, None, :]
-    return jnp.sum(b3 << sh, axis=2, dtype=jnp.uint32)
+    words = jnp.sum(b3 << sh, axis=2, dtype=jnp.uint32)  # [B, NW] (host-prep only)
+    return tuple(words[:, k] for k in range(NW))
 
 
-def _unpack_bits(words: jax.Array) -> jax.Array:
-    """uint32[B, NW] -> int32[B, NW*32]."""
-    B = words.shape[0]
-    sh = jnp.arange(WORD, dtype=jnp.uint32)[None, None, :]
-    bits = (words[:, :, None] >> sh) & jnp.uint32(1)
-    return bits.reshape(B, NW * WORD).astype(jnp.int32)
+def _unpack_bits(words: tuple[jax.Array, ...]) -> jax.Array:
+    """NW uint32[B] planes -> int32[B, NW*32]."""
+    sh = jnp.arange(WORD, dtype=jnp.uint32)[None, :]
+    cols = [((w[:, None] >> sh) & jnp.uint32(1)).astype(jnp.int32) for w in words]
+    return jnp.concatenate(cols, axis=1)
 
 
-def _prefix_mask(w: jax.Array) -> jax.Array:
-    """uint32[B, NW] with the low `w` bits set (w in [0, 128])."""
-    m = jnp.clip(w[:, None] - jnp.arange(NW, dtype=jnp.int32)[None, :] * WORD, 0, WORD)
+def _word_mask(w: jax.Array, k: int) -> jax.Array:
+    """uint32[B]: low clip(w - 32k, 0, 32) bits set (w in [0, 128])."""
+    m = jnp.clip(w - k * WORD, 0, WORD).astype(jnp.uint32)
     # (1 << 32) wraps to 0 in XLA, and 0 - 1 underflows to all-ones: exact
-    return (jnp.uint32(1) << m.astype(jnp.uint32)) - jnp.uint32(1)
+    return (jnp.uint32(1) << m) - jnp.uint32(1)
 
 
 def _masked_score(VP, VN, sf, w):
     """D(window offset w) = score_first + popcount-prefix over w bits."""
-    mask = _prefix_mask(w)
-    pv = jnp.sum(jax.lax.population_count(VP & mask), axis=1, dtype=jnp.int32)
-    mv = jnp.sum(jax.lax.population_count(VN & mask), axis=1, dtype=jnp.int32)
-    return sf + pv - mv
+    acc = sf
+    for k in range(NW):
+        mask = _word_mask(w, k)
+        acc = acc + jax.lax.population_count(VP[k] & mask).astype(jnp.int32)
+        acc = acc - jax.lax.population_count(VN[k] & mask).astype(jnp.int32)
+    return acc
 
 
-def _shift_chain(X: jax.Array, ins: jax.Array) -> jax.Array:
+def _shift_chain(X, ins):
     """Word-chain >>1 (window moves down one column); `ins` enters bit 127."""
-    hi = jnp.concatenate(
-        [X[:, 1:], (ins.astype(jnp.uint32) << jnp.uint32(0))[:, None]], axis=1
+    out = []
+    for k in range(NW):
+        hi = X[k + 1] if k + 1 < NW else ins.astype(jnp.uint32)
+        out.append((X[k] >> jnp.uint32(1)) | (hi << jnp.uint32(31)))
+    return tuple(out)
+
+
+def _sel(cond, a, b):
+    """Elementwise select over word tuples."""
+    return tuple(jnp.where(cond, x, y) for x, y in zip(a, b))
+
+
+SEGMENT = 512  # rows per compiled segment: ONE kernel shape (B, SEGMENT)
+# is reused for every segment of every chunk of every dataset, so the
+# (remote, superlinearly scan-length-sensitive) compile happens once per
+# batch width and is served from the persistent cache afterwards.
+# Measured on the axon tunnel: the monolithic scan compiles at
+# (B=1024, L=1024) in ~75 s but never finishes at L >= 2048.
+
+
+@partial(jax.jit, static_argnames=("band", "n_seg", "seg"))
+def _myers_prep(b_len, centers, band: int, n_seg: int, seg: int):
+    """Band schedule -> per-step shift stream + entering-char indices,
+    segment-major [n_seg, seg, B].  No gathers here (they live in the
+    fixed-shape segment kernel) so this program stays trivially small."""
+    n_rows = n_seg * seg
+    pad = n_rows + 1 - centers.shape[1]
+    if pad > 0:
+        centers = jnp.pad(centers, ((0, 0), (0, pad)), mode="edge")
+    o_all = _band_schedule(centers.astype(jnp.int32), b_len, band)
+    s_step = (o_all[:, 1 : n_rows + 1] - o_all[:, :n_rows]).astype(jnp.uint8).T
+    ent_idx = (o_all[:, 1 : n_rows + 1] + (band - 1)).T  # [n_rows, B]
+    B = s_step.shape[1]
+    return (
+        s_step.reshape(n_seg, seg, B),
+        ent_idx.reshape(n_seg, seg, B),
+        o_all[:, 0],
     )
-    return (X >> jnp.uint32(1)) | (hi << jnp.uint32(31))
 
 
-@partial(jax.jit, static_argnames=("band", "n_rows"))
+@partial(jax.jit, static_argnames=("band",))
+def _myers_init(b, b_len, a_len, o0, band: int):
+    """Initial Myers state at row 0 (window at o0)."""
+    B, LB = b.shape[0], b.shape[1]
+    # D(0, j) = j: every vertical delta +1
+    ones32 = jnp.full((B,), 0xFFFFFFFF, jnp.uint32)
+    zeros32 = jnp.zeros((B,), jnp.uint32)
+    VP0 = (ones32,) * NW
+    VN0 = (zeros32,) * NW
+    sf0 = o0  # D(0, o0) = o0
+    # Peq bit u of word k <-> column j = o + 32k + u + 1, char b[j-1]
+    pos0 = o0[:, None] + jnp.arange(band, dtype=jnp.int32)[None, :]  # b index
+    bch0 = jnp.take_along_axis(b, jnp.clip(pos0, 0, LB - 1), axis=1)
+    Peq0 = tuple(
+        _pack_bits((bch0 == c) & (pos0 < LB)) for c in range(4)
+    )  # 4 chars x NW planes of [B]
+
+    # row-0 B-exhaustion (b_len inside the initial window)
+    wb0 = b_len - o0
+    in0 = (wb0 >= 0) & (wb0 < band)
+    best_bx0 = jnp.where(in0, _masked_score(VP0, VN0, sf0, jnp.maximum(wb0, 0)), INF)
+    # row-0 A-exhaustion capture (a_len == 0)
+    fin0 = a_len == 0
+    z32 = jnp.zeros(B, jnp.int32)
+
+    return (
+        VP0, VN0, Peq0, sf0, o0,
+        best_bx0, z32, jnp.where(in0, b_len, 0),
+        _sel(fin0, VP0, (zeros32,) * NW),
+        _sel(fin0, VN0, (zeros32,) * NW),
+        jnp.where(fin0, sf0, 0), jnp.where(fin0, o0, 0),
+    )
+
+
+@partial(jax.jit, static_argnames=("band", "seg"), donate_argnums=(0,))
+def _myers_segment(carry, a, b, s_seg, ent_seg, a_len, b_len, i0,
+                   band: int, seg: int):
+    """Run `seg` Myers rows starting after absolute row i0.
+
+    a uint8[B, LA], b uint8[B, LB]; s_seg/ent_seg [seg, B] from
+    _myers_prep.  The program shape depends only on (B, LA, LB, seg), so
+    one compile serves every segment of every chunk.
+    """
+    B, LB = b.shape[0], b.shape[1]
+    # entering chars for the whole segment in one gather: [B, seg]
+    ent = jnp.clip(ent_seg.T, 0, LB - 1)
+    b_in = jnp.take_along_axis(b, ent, axis=1).astype(jnp.uint8).T  # [seg, B]
+    a_seg = jax.lax.dynamic_slice(
+        a, (0, i0), (B, seg)
+    ).astype(jnp.uint8).T  # rows i0+1..i0+seg use a[:, i0:i0+seg]
+    steps = i0 + 1 + jnp.arange(seg, dtype=jnp.int32)
+
+    u1 = jnp.uint32(1)
+    u31 = jnp.uint32(31)
+
+    def step(carry, xs):
+        (VP, VN, Peq, sf, o,
+         best_bx, aend_bx, bend_bx, finVP, finVN, fin_sf, fin_o) = carry
+        s, ach, bch, i = xs
+        live = i <= a_len  # [B]
+        s = jnp.where(live, s.astype(jnp.int32), 0)
+        do_shift = s > 0
+
+        # ---- window shift (elementwise; per-lane condition) ----
+        sf_sh = sf + (VP[0] & u1).astype(jnp.int32) - (VN[0] & u1).astype(jnp.int32)
+        onesB = jnp.ones(B, jnp.uint32)
+        zerosB = jnp.zeros(B, jnp.uint32)
+        VP_sh = _shift_chain(VP, onesB)  # below-band wall: +1
+        VN_sh = _shift_chain(VN, zerosB)
+        Peq_sh = tuple(
+            _shift_chain(Peq[c], (bch.astype(jnp.int32) == c).astype(jnp.uint32))
+            for c in range(4)
+        )
+        VP = _sel(do_shift, VP_sh, VP)
+        VN = _sel(do_shift, VN_sh, VN)
+        Peq = tuple(_sel(do_shift, Peq_sh[c], Peq[c]) for c in range(4))
+        sf = jnp.where(do_shift, sf_sh, sf)
+        o = o + s
+
+        # ---- Myers column update (edlib calculateBlock chained) ----
+        Eq_all = tuple(
+            jnp.where(ach == 0, Peq[0][k], 0)
+            | jnp.where(ach == 1, Peq[1][k], 0)
+            | jnp.where(ach == 2, Peq[2][k], 0)
+            | jnp.where(ach == 3, Peq[3][k], 0)
+            for k in range(NW)
+        )
+        # boundary row (window top) grows +1/row: hin = +1 into word 0
+        hp_in = onesB
+        hm_in = zerosB
+        nVP, nVN = [], []
+        for k in range(NW):
+            Pv, Mv = VP[k], VN[k]
+            Xv = Eq_all[k] | Mv
+            Eq = Eq_all[k] | hm_in  # hin<0 sets Eq bit 0
+            Xh = ((Eq & Pv) + Pv ^ Pv) | Eq
+            Ph = Mv | ~(Xh | Pv)
+            Mh = Pv & Xh
+            hp_out = Ph >> u31
+            hm_out = Mh >> u31
+            Ph = (Ph << u1) | hp_in
+            Mh = (Mh << u1) | hm_in
+            nVP.append(Mh | ~(Xv | Ph))
+            nVN.append(Ph & Xv)
+            hp_in, hm_in = hp_out, hm_out
+        sf_new = sf + 1  # boundary wall grows +1 per row
+
+        VP = _sel(live, tuple(nVP), VP)
+        VN = _sel(live, tuple(nVN), VN)
+        sf = jnp.where(live, sf_new, sf)
+
+        # ---- B-exhaustion capture: column j == b_len in-window ----
+        wb = b_len - o
+        inw = (wb >= 0) & (wb < band) & live
+        cost = jnp.where(inw, _masked_score(VP, VN, sf, jnp.clip(wb, 0, band)), INF)
+        better = cost < best_bx
+        best_bx = jnp.where(better, cost, best_bx)
+        aend_bx = jnp.where(better, i, aend_bx)
+        bend_bx = jnp.where(better, b_len, bend_bx)
+
+        # ---- A-exhaustion capture ----
+        at_fin = i == a_len
+        finVP = _sel(at_fin, VP, finVP)
+        finVN = _sel(at_fin, VN, finVN)
+        fin_sf = jnp.where(at_fin, sf, fin_sf)
+        fin_o = jnp.where(at_fin, o, fin_o)
+
+        new = (VP, VN, Peq, sf, o,
+               best_bx, aend_bx, bend_bx, finVP, finVN, fin_sf, fin_o)
+        return new, None
+
+    carry, _ = jax.lax.scan(step, carry, (s_seg, a_seg, b_in, steps))
+    return carry
+
+
+@partial(jax.jit, static_argnames=("band",))
+def _myers_finish(carry, a_len, b_len, band: int):
+    """Pick the best extension end from the final carry."""
+    (_, _, _, _, _,
+     best_bx, aend_bx, bend_bx, finVP, finVN, fin_sf, fin_o) = carry
+
+    # ---- A-exhausted row: unpack and take the best in-window column ----
+    dv = _unpack_bits(finVP) - _unpack_bits(finVN)  # [B, 128]
+    pref = jnp.cumsum(dv, axis=1)
+    w_ramp = jnp.arange(band, dtype=jnp.int32)[None, :]
+    scores = fin_sf[:, None] + jnp.where(w_ramp == 0, 0, jnp.roll(pref, 1, axis=1))
+    # D(fin row, fin_o + w); valid while the column exists on B
+    j = fin_o[:, None] + w_ramp
+    scores = jnp.where(j <= b_len[:, None], scores, INF)
+    wbest = jnp.argmin(scores, axis=1).astype(jnp.int32)
+    cost_ax = jnp.take_along_axis(scores, wbest[:, None], axis=1)[:, 0]
+    bend_ax = fin_o + wbest
+
+    use_ax = cost_ax <= best_bx
+    edits = jnp.where(use_ax, cost_ax, best_bx)
+    a_used = jnp.where(use_ax, a_len, aend_bx)
+    b_used = jnp.where(use_ax, bend_ax, bend_bx)
+    return edits, a_used, b_used
+
+
 def banded_extend_myers(
     a: jax.Array,  # uint8[B, LA] (row 0 = first char to align)
     a_len: jax.Array,  # int32[B]
@@ -102,155 +301,34 @@ def banded_extend_myers(
     centers: jax.Array,  # int32[B, n_rows+1]
     band: int = 128,
     n_rows: int = 0,
+    segment: int = SEGMENT,
+    max_rows: int | None = None,
 ):
-    """Drop-in equivalent of banded_extend (band must be 128)."""
+    """Drop-in equivalent of banded_extend (band must be 128).
+
+    HOST-LEVEL orchestrator (not jittable, by design): prep and init are
+    one small dispatch each, then ceil(rows/segment) fixed-shape segment
+    dispatches stream asynchronously, then one finish dispatch.  Pass
+    max_rows (host int, e.g. lengths.max()) to skip segments past every
+    pair's end — the monolithic scan always paid for n_rows.
+    """
     assert band == NW * WORD, "Myers kernel is specialized to band=128"
-    B, LB = b.shape[0], b.shape[1]
+    seg = min(segment, n_rows) if n_rows else segment
+    n_seg = max(1, -(-n_rows // seg))
     a_len = a_len.astype(jnp.int32)
     b_len = b_len.astype(jnp.int32)
-
-    o_all = _band_schedule(centers.astype(jnp.int32), b_len, band)  # [B, n_rows+1]
-
-    # ---- per-step streams (time-major) -----------------------------------
-    steps = jnp.arange(1, n_rows + 1, dtype=jnp.int32)
-    s_step = (o_all[:, 1 : n_rows + 1] - o_all[:, :n_rows]).astype(jnp.uint8).T
-    a_ch = a[:, :n_rows].astype(jnp.uint8).T  # a char of row i = a[i-1]
-    # char entering the window at bit 127 when the window shifts to o_i:
-    # column j = o_i + 128 compares b[j-1] = b[o_i + 127]
-    ent_idx = jnp.clip(o_all[:, 1 : n_rows + 1] + (band - 1), 0, LB - 1)
-    b_in_ch = jnp.take_along_axis(b, ent_idx, axis=1).astype(jnp.uint8).T
-
-    # ---- initial state (row 0, window at o0) -----------------------------
-    o0 = o_all[:, 0]
-    # D(0, j) = j: every vertical delta +1
-    VP0 = jnp.full((B, NW), 0xFFFFFFFF, jnp.uint32)
-    VN0 = jnp.zeros((B, NW), jnp.uint32)
-    sf0 = o0  # D(0, o0) = o0
-    # Peq bit u of word k <-> column j = o + 32k + u + 1, char b[j-1]
-    pos0 = o0[:, None] + jnp.arange(band, dtype=jnp.int32)[None, :]  # b index
-    bch0 = jnp.take_along_axis(b, jnp.clip(pos0, 0, LB - 1), axis=1)
-    Peq0 = jnp.stack(
-        [_pack_bits((bch0 == c) & (pos0 < LB)) for c in range(4)], axis=1
-    )  # [B, 4, NW]
-
-    # row-0 B-exhaustion (b_len inside the initial window)
-    wb0 = b_len - o0
-    in0 = (wb0 >= 0) & (wb0 < band)
-    best_bx0 = jnp.where(in0, _masked_score(VP0, VN0, sf0, jnp.maximum(wb0, 0)), INF)
-    # row-0 A-exhaustion capture (a_len == 0)
-    fin0 = (a_len == 0)
-    cap = lambda live, new, old: jnp.where(live[:, None] if new.ndim == 2 else live, new, old)
-
-    carry0 = dict(
-        VP=VP0, VN=VN0, Peq=Peq0, sf=sf0, o=o0,
-        best_bx=best_bx0,
-        aend_bx=jnp.zeros(B, jnp.int32),
-        bend_bx=jnp.where(in0, b_len, 0),
-        finVP=jnp.where(fin0[:, None], VP0, 0),
-        finVN=jnp.where(fin0[:, None], VN0, 0),
-        fin_sf=jnp.where(fin0, sf0, 0),
-        fin_o=jnp.where(fin0, o0, 0),
-    )
-
-    ones = jnp.uint32(1)
-    top = jnp.uint32(0x80000000)
-
-    def step(carry, xs):
-        s, ach, bch, i = xs
-        live = i <= carry["a_len"] if False else (i <= a_len)  # [B]
-        s = jnp.where(live, s.astype(jnp.int32), 0)
-        do_shift = s > 0
-
-        VP, VN, Peq, sf, o = carry["VP"], carry["VN"], carry["Peq"], carry["sf"], carry["o"]
-
-        # ---- window shift (elementwise; per-lane condition) ----
-        sf_sh = sf + (VP[:, 0] & ones).astype(jnp.int32) - (VN[:, 0] & ones).astype(jnp.int32)
-        VP_sh = _shift_chain(VP, jnp.ones(B, jnp.uint32))  # below-band wall: +1
-        VN_sh = _shift_chain(VN, jnp.zeros(B, jnp.uint32))
-        ins = jnp.stack([(bch.astype(jnp.int32) == c) for c in range(4)], 1)  # [B,4]
-        Peq_sh = jnp.stack(
-            [_shift_chain(Peq[:, c], ins[:, c].astype(jnp.uint32)) for c in range(4)],
-            axis=1,
+    # a must cover n_seg*seg slice range
+    need = n_seg * seg
+    if a.shape[1] < need:
+        a = jnp.pad(a, ((0, 0), (0, need - a.shape[1])))
+    s_segs, ent_segs, o0 = _myers_prep(b_len, centers, band, n_seg, seg)
+    carry = _myers_init(b, b_len, a_len, o0, band)
+    run_segs = n_seg
+    if max_rows is not None:
+        run_segs = max(1, min(n_seg, -(-int(max_rows) // seg)))
+    for t in range(run_segs):
+        carry = _myers_segment(
+            carry, a, b, s_segs[t], ent_segs[t], a_len, b_len,
+            jnp.int32(t * seg), band, seg,
         )
-        VP = jnp.where(do_shift[:, None], VP_sh, VP)
-        VN = jnp.where(do_shift[:, None], VN_sh, VN)
-        Peq = jnp.where(do_shift[:, None, None], Peq_sh, Peq)
-        sf = jnp.where(do_shift, sf_sh, sf)
-        o = o + s
-
-        # ---- Myers column update (edlib calculateBlock chained) ----
-        sel = ach.astype(jnp.int32)
-        Eq_all = (
-            jnp.where((sel == 0)[:, None], Peq[:, 0], 0)
-            | jnp.where((sel == 1)[:, None], Peq[:, 1], 0)
-            | jnp.where((sel == 2)[:, None], Peq[:, 2], 0)
-            | jnp.where((sel == 3)[:, None], Peq[:, 3], 0)
-        )  # [B, NW]
-        # boundary row (window top) grows +1/row: hin = +1 into word 0
-        hp_in = jnp.ones(B, jnp.uint32)
-        hm_in = jnp.zeros(B, jnp.uint32)
-        nVP, nVN = [], []
-        for k in range(NW):
-            Pv, Mv = VP[:, k], VN[:, k]
-            Xv = Eq_all[:, k] | Mv
-            Eq = Eq_all[:, k] | hm_in  # hin<0 sets Eq bit 0
-            Xh = ((Eq & Pv) + Pv ^ Pv) | Eq
-            Ph = Mv | ~(Xh | Pv)
-            Mh = Pv & Xh
-            hp_out = (Ph & top) >> jnp.uint32(31)
-            hm_out = (Mh & top) >> jnp.uint32(31)
-            Ph = (Ph << ones) | hp_in
-            Mh = (Mh << ones) | hm_in
-            nVP.append(Mh | ~(Xv | Ph))
-            nVN.append(Ph & Xv)
-            hp_in, hm_in = hp_out, hm_out
-        VP_new = jnp.stack(nVP, axis=1)
-        VN_new = jnp.stack(nVN, axis=1)
-        sf_new = sf + 1  # boundary wall grows +1 per row
-
-        VP = jnp.where(live[:, None], VP_new, VP)
-        VN = jnp.where(live[:, None], VN_new, VN)
-        sf = jnp.where(live, sf_new, sf)
-
-        # ---- B-exhaustion capture: column j == b_len in-window ----
-        wb = b_len - o
-        inw = (wb >= 0) & (wb < band) & live
-        cost = jnp.where(inw, _masked_score(VP, VN, sf, jnp.clip(wb, 0, band)), INF)
-        better = cost < carry["best_bx"]
-        best_bx = jnp.where(better, cost, carry["best_bx"])
-        aend_bx = jnp.where(better, i, carry["aend_bx"])
-        bend_bx = jnp.where(better, b_len, carry["bend_bx"])
-
-        # ---- A-exhaustion capture ----
-        at_fin = i == a_len
-        finVP = jnp.where(at_fin[:, None], VP, carry["finVP"])
-        finVN = jnp.where(at_fin[:, None], VN, carry["finVN"])
-        fin_sf = jnp.where(at_fin, sf, carry["fin_sf"])
-        fin_o = jnp.where(at_fin, o, carry["fin_o"])
-
-        new = dict(
-            VP=VP, VN=VN, Peq=Peq, sf=sf, o=o,
-            best_bx=best_bx, aend_bx=aend_bx, bend_bx=bend_bx,
-            finVP=finVP, finVN=finVN, fin_sf=fin_sf, fin_o=fin_o,
-        )
-        return new, None
-
-    carry, _ = jax.lax.scan(step, carry0, (s_step, a_ch, b_in_ch, steps))
-
-    # ---- A-exhausted row: unpack and take the best in-window column ----
-    dv = _unpack_bits(carry["finVP"]) - _unpack_bits(carry["finVN"])  # [B, 128]
-    pref = jnp.cumsum(dv, axis=1)
-    w_ramp = jnp.arange(band, dtype=jnp.int32)[None, :]
-    scores = carry["fin_sf"][:, None] + jnp.where(w_ramp == 0, 0, jnp.roll(pref, 1, axis=1))
-    # D(fin row, fin_o + w); valid while the column exists on B
-    j = carry["fin_o"][:, None] + w_ramp
-    scores = jnp.where(j <= b_len[:, None], scores, INF)
-    wbest = jnp.argmin(scores, axis=1).astype(jnp.int32)
-    cost_ax = jnp.take_along_axis(scores, wbest[:, None], axis=1)[:, 0]
-    bend_ax = carry["fin_o"] + wbest
-
-    use_ax = cost_ax <= carry["best_bx"]
-    edits = jnp.where(use_ax, cost_ax, carry["best_bx"])
-    a_used = jnp.where(use_ax, a_len, carry["aend_bx"])
-    b_used = jnp.where(use_ax, bend_ax, carry["bend_bx"])
-    return edits, a_used, b_used
+    return _myers_finish(carry, a_len, b_len, band)

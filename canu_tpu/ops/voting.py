@@ -72,15 +72,24 @@ def run_alignment_batches(
 
     `votes_of[key]` must be a pre-created VoteArrays sized to the full
     template; job template slices vote at offset t_bgn.
+
+    Jobs are sorted by template-span length and each batch runs at the
+    smallest power-of-two row count that fits it — alignment work is
+    span-sized, not readset-max-sized (n_rows is only an upper bound,
+    and a handful of pow2 shapes bounds recompiles).
     """
-    L = n_rows + band
+    jobs = sorted(jobs, key=lambda j: -len(j[2]))
     for s in range(0, len(jobs), batch):
         chunk = jobs[s : s + batch]
+        bmax = max(max(len(j[2]) for j in chunk), max(len(j[3]) for j in chunk), 128)
+        b_rows = 1 << (bmax - 1).bit_length()
+        b_rows = min(b_rows, n_rows) if n_rows else b_rows
+        L = b_rows + band
         t_arr = np.zeros((batch, L), np.uint8)
         e_arr = np.zeros((batch, L), np.uint8)
         tl = np.zeros(batch, np.int32)
         el = np.zeros(batch, np.int32)
-        cen = np.zeros((batch, n_rows + 1), np.int32)
+        cen = np.zeros((batch, b_rows + 1), np.int32)
         for i, (_, _, tc, ec) in enumerate(chunk):
             t_arr[i, : len(tc)] = tc
             e_arr[i, : len(ec)] = ec
@@ -92,7 +101,7 @@ def run_alignment_batches(
             cen[i, len(tc) + 1 :] = len(ec)
         j_star, _ = align_positions(
             jnp.asarray(t_arr), jnp.asarray(tl), jnp.asarray(e_arr), jnp.asarray(el),
-            jnp.asarray(cen), band, n_rows,
+            jnp.asarray(cen), band, b_rows,
         )
         j_star = np.asarray(j_star)
         for i, (key, t_bgn, tc, ec) in enumerate(chunk):

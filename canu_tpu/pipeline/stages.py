@@ -260,6 +260,40 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
     fk = meryl(ctx, "utg", rs)
     st = overlap(ctx, "utg", rs, fk)
 
+    # overlap error adjustment (RED + OEA, OverlapErrorAdjustment.pm):
+    # re-vote read errors from the overlap pile, re-verify overlaps
+    # between corrected reads, install the adjusted erates sidecar
+    if bool(ctx.cfg.get("enableOEA")):
+        oea_store = os.path.join(d, f"{ctx.prefix}.ovlStore.adjusted")
+
+        def oea_done() -> bool:
+            return os.path.isdir(oea_store)
+
+        def oea_fn() -> None:
+            from ..ops.oea import adjust_overlap_erates, detect_read_errors
+
+            corr = detect_read_errors(
+                rs, st,
+                min_alt_votes=int(ctx.cfg.get("oeaMinAltVotes")),
+                max_own_votes=int(ctx.cfg.get("oeaMaxOwnVotes")),
+                band=int(ctx.cfg.get("utgBandWidth")) * 2,
+            )
+            new_q = adjust_overlap_erates(
+                rs, st, corr, band=int(ctx.cfg.get("utgBandWidth"))
+            )
+            n_fix = sum(len(v) for v in corr.values())
+            before = float(np.median(st.erate)) if len(st) else 0.0
+            st.update_erates(new_q)
+            st.save(oea_store)
+            ctx.report.add(
+                "utg.oea",
+                f"RED corrected {n_fix} bases in {len(corr)} reads; "
+                f"median erate {before:.4f} -> {float(np.median(st.erate)):.4f}",
+            )
+
+        run_stage(ctx, "oea", oea_done, oea_fn)
+        st = OverlapStore.load(oea_store)
+
     ctg_dir = os.path.join(d, f"{ctx.prefix}.ctgStore")
 
     def tigs_done() -> bool:
