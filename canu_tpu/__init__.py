@@ -25,3 +25,29 @@ docstrings are to reference behavior being matched, e.g.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache (measured: axon remote compiles are
+    minutes per shape; cached reloads are sub-second).  Opt out with
+    CANU_TPU_NO_COMPILE_CACHE=1; the directory is overridable with
+    CANU_TPU_COMPILE_CACHE_DIR."""
+    if _os.environ.get("CANU_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "CANU_TPU_COMPILE_CACHE_DIR",
+            _os.path.expanduser("~/.cache/canu_tpu_xla"),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compile_cache()

@@ -241,9 +241,12 @@ def _anchor_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, orient: bool = F
     hit, posA_m, posB_m, agree = pair_matches(
         canonA, validA, strandA, pos, canonB, validB, strandB, pos
     )
+    n_same = jnp.sum((hit & agree).astype(jnp.int32), axis=1)
+    n_opp = jnp.sum((hit & ~agree).astype(jnp.int32), axis=1)
+    # minority-orientation support: a palindromic/subread-loop signature
+    # (both orientations share many k-mers — splitReads.H:50-51 semantics)
+    n_minor = jnp.minimum(n_same, n_opp)
     if orient:
-        n_same = jnp.sum((hit & agree).astype(jnp.int32), axis=1)
-        n_opp = jnp.sum((hit & ~agree).astype(jnp.int32), axis=1)
         flipped = n_opp > n_same
     # positions on the ORIENTED B: rc flips the k-mer window start
     posB_m = jnp.where(flipped[:, None], lenB[:, None] - k - posB_m, posB_m)
@@ -284,7 +287,7 @@ def _anchor_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, orient: bool = F
     aA = jnp.where(dup, -1, aA)
     aB = jnp.where(dup, -1, aB)
     n_anchor = jnp.sum((aA >= 0).astype(jnp.int32), axis=1)
-    return aA, aB, n_anchor, flipped
+    return aA, aB, n_anchor, flipped, n_minor
 
 
 def _interp_centers(sub_xa, sub_xb, n_sub, n_rows):
@@ -342,7 +345,7 @@ def _verify_pre(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_rows: 
     The extension itself is dispatched by the caller at host level so
     the (segmented) Myers kernel keeps its own small compiled programs.
     """
-    aA, aB, n_anchor, flipped = _anchor_kernel(
+    aA, aB, n_anchor, flipped, n_minor = _anchor_kernel(
         wordsA, lenA, wordsB, lenB, flipped, k, orient
     )
     basesA = unpack_bases(wordsA)
@@ -389,11 +392,12 @@ def _verify_pre(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_rows: 
         jnp.concatenate([lenB - seedB, seedB]),
         jnp.concatenate([cen_f, cen_b]),
     )
-    return ext_in, n_anchor, flipped, seedA, seedB
+    return ext_in, n_anchor, flipped, seedA, seedB, n_minor
 
 
 @jax.jit
-def _verify_post(n_anchor, flipped, seedA, seedB, e, au, bu):
+def _verify_post(n_anchor, flipped, seedA, seedB, n_minor, e, au, bu,
+                 pe, pa, pb):
     """Fold the fused extension results into one int32 result tile."""
     Bn = n_anchor.shape[0]
     e_f, e_b = e[:Bn], e[Bn:]
@@ -404,36 +408,51 @@ def _verify_post(n_anchor, flipped, seedA, seedB, e, au, bu):
     a_end = seedA + au_f
     b_bgn_o = seedB - bu_b  # oriented-B coords
     b_end_o = seedB + bu_f
+    # partial endpoints (best in-envelope extension per direction)
+    pe_t = pe[:Bn] + pe[Bn:]
+    pa_bgn = seedA - pa[Bn:]
+    pa_end = seedA + pa[:Bn]
+    pb_bgn_o = seedB - pb[Bn:]
+    pb_end_o = seedB + pb[:Bn]
     # ONE int32 result tile -> one device->host fetch per chunk
     return jnp.stack(
         [n_anchor, a_bgn, a_end, b_bgn_o, b_end_o, jnp.minimum(edits, INF),
-         flipped.astype(jnp.int32)], axis=1
+         flipped.astype(jnp.int32), n_minor,
+         pa_bgn, pa_end, pb_bgn_o, pb_end_o, jnp.minimum(pe_t, INF)], axis=1
     )
 
 
 def _verify_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_rows: int,
                    engine: str = "myers", orient: bool = False,
-                   max_rows: int | None = None):
+                   max_rows: int | None = None, partial_cap_q: int = 0):
     """Anchor + bidirectional banded extension for one chunk of pairs.
 
     engine: 'myers' (segmented bit-vector kernel, host-orchestrated —
     the default on every backend), 'pallas_x8' (sublane-packed select/
-    roll kernel), or 'xla' (reference scan implementation).
+    roll kernel), or 'xla' (reference scan implementation).  Only the
+    myers engine tracks partial (in-envelope) endpoints; the others
+    report the full extension as the partial.
     """
-    ext_in, n_anchor, flipped, seedA, seedB = _verify_pre(
+    ext_in, n_anchor, flipped, seedA, seedB, n_minor = _verify_pre(
         wordsA, lenA, wordsB, lenB, flipped, k, band, n_rows, orient
     )
     if engine == "pallas_x8":
         from .pallas.extend_x8 import banded_extend_pallas_x8
 
         e, au, bu = banded_extend_pallas_x8(*ext_in, band, n_rows)
+        pe, pa, pb = e, au, bu
     elif engine == "myers":
         from .myers import banded_extend_myers
 
-        e, au, bu = banded_extend_myers(*ext_in, band, n_rows, max_rows=max_rows)
+        e, au, bu, pe, pa, pb = banded_extend_myers(
+            *ext_in, band, n_rows, max_rows=max_rows,
+            partial_cap_q=max(1, partial_cap_q),
+        )
     else:
         e, au, bu = banded_extend(*ext_in, band, n_rows)
-    return _verify_post(n_anchor, flipped, seedA, seedB, e, au, bu)
+        pe, pa, pb = e, au, bu
+    return _verify_post(n_anchor, flipped, seedA, seedB, n_minor,
+                        e, au, bu, pe, pa, pb)
 
 
 def verify_overlaps(
@@ -447,6 +466,8 @@ def verify_overlaps(
     use_pallas: Optional[bool] = None,
     engine: Optional[str] = None,
     min_shared: int = 4,
+    partial: bool = False,
+    palindromic_min: int = 0,
 ) -> OverlapTable:
     """Verify candidates with the banded extension; returns OverlapTable.
 
@@ -460,6 +481,17 @@ def verify_overlaps(
     minOverlapLength gates (/root/reference/src/pipelines/canu/Defaults.pm).
     engine: 'myers' (default), 'pallas_x8', or 'xla'; use_pallas=True is
     accepted as an alias for engine='pallas_x8'.
+
+    partial=True emits the best in-envelope PARTIAL overlap when the
+    full extension fails the erate gate (overlapInCore -G / forOBT mode,
+    /root/reference/src/overlapInCore/overlapInCore.C — evidence for
+    trimming/correction on chimeric or junction-crossing reads).
+
+    palindromic_min > 0 (raw-pair input only): pairs whose
+    minority-orientation k-mer support is >= the threshold are verified
+    in BOTH orientations, producing the duplicate opposite-orientation
+    overlap pairs that subread-loop detection keys on
+    (/root/reference/src/overlapBasedTrimming/splitReads-subReads.C).
     """
     if engine is None:
         engine = "pallas_x8" if use_pallas else "myers"
@@ -523,10 +555,12 @@ def verify_overlaps(
             jnp.asarray(wa), jnp.asarray(la), jnp.asarray(wb), jnp.asarray(lb),
             jnp.asarray(fl), k, band, n_rows, engine, orient,
             max_rows=chunk_rows,
+            partial_cap_q=int(max_erate * 10000) if partial else 0,
         )
         pending.append((sl, res))
+    palin: list[np.ndarray] = []
     for sl, res in pending:
-        r = np.asarray(res)  # [chunk, 7] int32, one fetch
+        r = np.asarray(res)  # [chunk, 13] int32, one fetch
         a_ids = a_id_all[sl]
         b_ids = b_id_all[sl]
         C = len(a_ids)
@@ -544,6 +578,34 @@ def verify_overlaps(
         b_end_f = np.where(flc, lbv - b_bgn_o, b_end_o)
         span = np.minimum(a_end - a_bgn, b_end_f - b_bgn_f)
         keep = ok & (erate <= max_erate) & (span >= min_overlap)
+        if partial:
+            # fall back to the best in-envelope partial endpoints where
+            # the full extension blew the erate gate
+            pa_bgn, pa_end = r[:C, 8], r[:C, 9]
+            pb_bgn_o, pb_end_o = r[:C, 10], r[:C, 11]
+            p_edits = r[:C, 12]
+            p_span_m = ((pa_end - pa_bgn) + (pb_end_o - pb_bgn_o)) / 2.0
+            p_erate = np.where(ok, p_edits / np.maximum(p_span_m, 1.0), 1.0)
+            pb_bgn_f = np.where(flc, lbv - pb_end_o, pb_bgn_o)
+            pb_end_f = np.where(flc, lbv - pb_bgn_o, pb_end_o)
+            p_span = np.minimum(pa_end - pa_bgn, pb_end_f - pb_bgn_f)
+            use_p = (
+                ok & ~keep & (p_erate <= max_erate) & (p_span >= min_overlap)
+            )
+            a_bgn = np.where(use_p, pa_bgn, a_bgn)
+            a_end = np.where(use_p, pa_end, a_end)
+            b_bgn_f = np.where(use_p, pb_bgn_f, b_bgn_f)
+            b_end_f = np.where(use_p, pb_end_f, b_end_f)
+            erate = np.where(use_p, p_erate, erate)
+            keep = keep | use_p
+        if orient and palindromic_min > 0:
+            pm = (r[:C, 7] >= palindromic_min) & (n_anchor >= min_shared)
+            if pm.any():
+                palin.append(
+                    np.stack(
+                        [a_ids[pm], b_ids[pm], flc[pm].astype(np.int64)], axis=1
+                    )
+                )
         cols["a_id"].append(a_ids[keep].astype(np.int32))
         cols["b_id"].append(b_ids[keep].astype(np.int32))
         cols["flipped"].append(flc[keep])
@@ -554,6 +616,30 @@ def verify_overlaps(
         cols["erate_q"].append(
             np.minimum(np.round(erate[keep] * 10000), 65535).astype(np.uint16)
         )
+
+    # second pass: verify palindromic pairs in the MINORITY orientation,
+    # yielding the duplicate opposite-orientation overlaps the subread
+    # detector needs (splitReads-subReads.C expects two overlaps per pair)
+    if palin:
+        pp = np.concatenate(palin)
+        cand2 = OverlapCandidates(
+            a_id=pp[:, 0].astype(np.int32),
+            b_id=pp[:, 1].astype(np.int32),
+            flipped=~pp[:, 2].astype(bool),
+            diag=np.zeros(len(pp), np.int32),
+            n_shared=np.zeros(len(pp), np.int32),
+            a_lo=np.zeros(len(pp), np.int32),
+            a_hi=np.zeros(len(pp), np.int32),
+            b_lo=np.zeros(len(pp), np.int32),
+            b_hi=np.zeros(len(pp), np.int32),
+        )
+        t2 = verify_overlaps(
+            readset, cand2, k=k, band=band, max_erate=max_erate,
+            min_overlap=min_overlap, chunk=chunk, engine=engine,
+            min_shared=min_shared, partial=partial,
+        )
+        for name in cols:
+            cols[name].append(getattr(t2, name))
 
     def cat(name, dtype):
         arrs = cols[name]

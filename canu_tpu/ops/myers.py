@@ -164,11 +164,14 @@ def _myers_init(b, b_len, a_len, o0, band: int):
         _sel(fin0, VP0, (zeros32,) * NW),
         _sel(fin0, VN0, (zeros32,) * NW),
         jnp.where(fin0, sf0, 0), jnp.where(fin0, o0, 0),
+        # partial-extension tracker: (ext=a+b, edits, a, b) best so far —
+        # the (0,0) start is always admissible at 0 edits
+        z32, z32, z32, z32,
     )
 
 
 @partial(jax.jit, static_argnames=("band", "seg"), donate_argnums=(0,))
-def _myers_segment(carry, a, b, s_seg, ent_seg, a_len, b_len, i0,
+def _myers_segment(carry, a, b, s_seg, ent_seg, a_len, b_len, i0, cap_q,
                    band: int, seg: int):
     """Run `seg` Myers rows starting after absolute row i0.
 
@@ -190,7 +193,8 @@ def _myers_segment(carry, a, b, s_seg, ent_seg, a_len, b_len, i0,
 
     def step(carry, xs):
         (VP, VN, Peq, sf, o,
-         best_bx, aend_bx, bend_bx, finVP, finVN, fin_sf, fin_o) = carry
+         best_bx, aend_bx, bend_bx, finVP, finVN, fin_sf, fin_o,
+         p_ext, p_edits, p_a, p_b) = carry
         s, ach, bch, i = xs
         live = i <= a_len  # [B]
         s = jnp.where(live, s.astype(jnp.int32), 0)
@@ -260,8 +264,29 @@ def _myers_segment(carry, a, b, s_seg, ent_seg, a_len, b_len, i0,
         fin_sf = jnp.where(at_fin, sf, fin_sf)
         fin_o = jnp.where(at_fin, o, fin_o)
 
+        # ---- best partial endpoint along the band center (the anchor
+        # diagonal): furthest (i, j) with edits within the erate envelope
+        # — the reference's overlapInCore -G partial-overlap mode
+        # (/root/reference/src/overlapInCore/overlapInCore.C, forOBT) ----
+        jc = o + band // 2
+        sc = sf
+        for kk in range(NW // 2):  # static prefix: first band/2 columns
+            sc = sc + jax.lax.population_count(VP[kk]).astype(jnp.int32)
+            sc = sc - jax.lax.population_count(VN[kk]).astype(jnp.int32)
+        ext = i + jc
+        # int32-safe: edits beyond 80k can't meet any sane envelope for
+        # reads this kernel sees (<=2^21 bases -> cap_q*ext < 2^31)
+        sc_c = jnp.minimum(sc, 80_000)
+        ext_c = jnp.minimum(ext, 400_000)  # conservative past ~200 kbp
+        ok = (jc <= b_len) & live & (sc_c * 20000 <= cap_q * ext_c) & (ext > p_ext)
+        p_ext = jnp.where(ok, ext, p_ext)
+        p_edits = jnp.where(ok, sc, p_edits)
+        p_a = jnp.where(ok, i, p_a)
+        p_b = jnp.where(ok, jc, p_b)
+
         new = (VP, VN, Peq, sf, o,
-               best_bx, aend_bx, bend_bx, finVP, finVN, fin_sf, fin_o)
+               best_bx, aend_bx, bend_bx, finVP, finVN, fin_sf, fin_o,
+               p_ext, p_edits, p_a, p_b)
         return new, None
 
     carry, _ = jax.lax.scan(step, carry, (s_seg, a_seg, b_in, steps))
@@ -272,7 +297,8 @@ def _myers_segment(carry, a, b, s_seg, ent_seg, a_len, b_len, i0,
 def _myers_finish(carry, a_len, b_len, band: int):
     """Pick the best extension end from the final carry."""
     (_, _, _, _, _,
-     best_bx, aend_bx, bend_bx, finVP, finVN, fin_sf, fin_o) = carry
+     best_bx, aend_bx, bend_bx, finVP, finVN, fin_sf, fin_o,
+     p_ext, p_edits, p_a, p_b) = carry
 
     # ---- A-exhausted row: unpack and take the best in-window column ----
     dv = _unpack_bits(finVP) - _unpack_bits(finVN)  # [B, 128]
@@ -290,7 +316,10 @@ def _myers_finish(carry, a_len, b_len, band: int):
     edits = jnp.where(use_ax, cost_ax, best_bx)
     a_used = jnp.where(use_ax, a_len, aend_bx)
     b_used = jnp.where(use_ax, bend_ax, bend_bx)
-    return edits, a_used, b_used
+    # partial endpoints never exceed the reads
+    p_a = jnp.minimum(p_a, a_len)
+    p_b = jnp.minimum(p_b, b_len)
+    return edits, a_used, b_used, p_edits, p_a, p_b
 
 
 def banded_extend_myers(
@@ -303,6 +332,7 @@ def banded_extend_myers(
     n_rows: int = 0,
     segment: int = SEGMENT,
     max_rows: int | None = None,
+    partial_cap_q: int | None = None,
 ):
     """Drop-in equivalent of banded_extend (band must be 128).
 
@@ -311,6 +341,12 @@ def banded_extend_myers(
     dispatches stream asynchronously, then one finish dispatch.  Pass
     max_rows (host int, e.g. lengths.max()) to skip segments past every
     pair's end — the monolithic scan always paid for n_rows.
+
+    partial_cap_q: when set (erate in 0.01% fixed-point), ALSO track the
+    furthest band-center endpoint whose edit count stays within that
+    error envelope and return a 6-tuple (edits, a_used, b_used,
+    p_edits, p_a, p_b) — the reference's partial-overlap (-G / forOBT)
+    semantics.  When None, returns the classic 3-tuple.
     """
     assert band == NW * WORD, "Myers kernel is specialized to band=128"
     seg = min(segment, n_rows) if n_rows else segment
@@ -326,9 +362,13 @@ def banded_extend_myers(
     run_segs = n_seg
     if max_rows is not None:
         run_segs = max(1, min(n_seg, -(-int(max_rows) // seg)))
+    # kernel condition is edits*20000 <= cap_q*(a+b), i.e. edits within
+    # cap_q (0.01% fixed-point) of the mean-span (a+b)/2
+    cap_q = jnp.int32(0 if partial_cap_q is None else int(partial_cap_q))
     for t in range(run_segs):
         carry = _myers_segment(
             carry, a, b, s_segs[t], ent_segs[t], a_len, b_len,
-            jnp.int32(t * seg), band, seg,
+            jnp.int32(t * seg), cap_q, band, seg,
         )
-    return _myers_finish(carry, a_len, b_len, band)
+    out = _myers_finish(carry, a_len, b_len, band)
+    return out if partial_cap_q is not None else out[:3]

@@ -128,6 +128,18 @@ def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
             min_overlap=int(cfg.get("minOverlapLength")),
             chunk=512,
             min_shared=int(cfg.get(tag + "MinShared")),
+            # cor/obt use partial (forOBT-style) overlaps so chimeric
+            # reads still contribute their good arms as evidence; utg
+            # wants pure dovetails for the best-overlap graph
+            # (overlapInCore -G mode is used by the reference for
+            # correction and trimming, not unitigging)
+            partial=tag in ("cor", "obt"),
+            # obt additionally verifies palindromic pairs in both
+            # orientations: duplicate opposite-orientation overlaps are
+            # the subread-loop junction signature splitReads keys on
+            palindromic_min=(
+                int(cfg.get(tag + "MinShared")) if tag == "obt" else 0
+            ),
         )
         st = OverlapStore.build(ov, rs.n_reads)
         st.save(store)
@@ -209,9 +221,15 @@ def trimming_phase(ctx: AssemblyCtx, corrected_inputs: list[str]) -> None:
         from ..io.fastx import write_fasta
 
         from ..utils.intervals import covered_intervals
+        from .splitreads import detect_bad_regions, subtract_regions
+
+        # hang-pattern subread-loop junctions from opposite-orientation
+        # duplicate overlap pairs (splitReads-subReads.C semantics)
+        bad_regions = detect_bad_regions(st)
 
         records = []
         n_trimmed = n_dropped = n_split = 0
+        n_junction = len(bad_regions)
         for rid in range(1, rs.n_reads + 1):
             o = st.overlaps_for(rid)
             spans = np.stack([o["a_bgn"], o["a_end"]], axis=1)
@@ -221,7 +239,10 @@ def trimming_phase(ctx: AssemblyCtx, corrected_inputs: list[str]) -> None:
             # (the reference's splitReads role,
             # /root/reference/src/overlapBasedTrimming/splitReads.H:50)
             iv = covered_intervals(spans, min_cov)
-            iv = [(int(b), int(e)) for b, e in iv if e - b >= min_len]
+            iv = [(int(b), int(e)) for b, e in iv]
+            if rid in bad_regions:
+                iv = subtract_regions(iv, bad_regions[rid])
+            iv = [(b, e) for b, e in iv if e - b >= min_len]
             if not iv:
                 n_dropped += 1
                 continue
@@ -240,8 +261,8 @@ def trimming_phase(ctx: AssemblyCtx, corrected_inputs: list[str]) -> None:
         os.replace(out + ".WORKING.gz", out)
         ctx.report.add(
             "obt.trim",
-            f"kept {len(records)} reads ({n_trimmed} trimmed, {n_split} split), "
-            f"dropped {n_dropped}",
+            f"kept {len(records)} reads ({n_trimmed} trimmed, {n_split} split, "
+            f"{n_junction} subread junctions), dropped {n_dropped}",
         )
 
     run_stage(ctx, "trimming", done, fn)
