@@ -6,9 +6,10 @@ Extend_Alignment forward/reverse from a seed) and the edlib re-alignment
 pass (/root/reference/src/overlapInCore/overlapPair.C:277-338) with one
 TPU-native design:
 
-  1. anchors: exact shared k-mers between the oriented pair, diagonal
-     filtered and monotonized — recomputed on device from the packed
-     reads (cheap) rather than stored;
+  1. anchors: shared minimizers between the oriented pair (from the
+     device-resident per-read minimizer index, ops.minimizers — built
+     once per read set, gathered by row id per pair), diagonal filtered
+     and monotonized;
   2. seed: the middle anchor;
   3. extension: batched banded semi-global DP from the seed toward both
      read ends, with the band CENTER following the anchor chain
@@ -36,8 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..stores.readset import ReadSet
-from ..utils.bitpack import n_words
-from .kmer import INVALID_KMER, extract_kmers, unpack_bases
+from .kmer import INVALID_KMER, unpack_bases
 from .minhash import OverlapCandidates
 
 INF = 1 << 28  # python int: module-level jnp scalars become hoisted executable buffers
@@ -214,32 +214,31 @@ def banded_extend(
 # ---- anchor computation -----------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("k", "orient"))
-def _anchor_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, orient: bool = False):
-    """Monotonic shared-kmer anchors for read pairs.
+def _anchor_compact(mkA, posA, strA, mkB, posB, strB, lenA, lenB, flipped,
+                    k: int, orient: bool = False):
+    """Monotonic shared-minimizer anchors for read pairs.
 
-    Returns (anchorsA int32[B, M], anchorsB int32[B, M], n_anchor int32[B],
-    flipped bool[B]) — positions in A / oriented-B coordinates, padded
-    with -1, M=MAX_ANCHORS.  Matches come from the one-sort adjacency
-    join (canu_tpu.ops.kmerjoin) over canonical k-mers of FORWARD B, so
-    one join serves both orientations: a match supports forward when the
-    two strand flags agree, reverse when they differ (the role of MHAP's
-    ordered-sketch orientation vote).  With orient=True the majority
-    decides `flipped` (the incoming value is ignored); otherwise the
-    caller's flipped is used.
+    Inputs are gathered rows of the ReadIndex (ops.minimizers): compacted
+    (kmer, pos, strand) triples per read, width Pm ~ P/4 — so the join
+    sorts are 4x narrower than k-mer-dense joins and never re-extract
+    k-mers per pair.  Returns (anchorsA int32[B, M], anchorsB int32[B, M],
+    n_anchor int32[B], flipped bool[B], n_minor int32[B]) — positions in
+    A / oriented-B coordinates, padded with -1, M=MAX_ANCHORS.  Matches
+    come from the one-sort adjacency join (canu_tpu.ops.kmerjoin) over
+    canonical minimizers of FORWARD B, so one join serves both
+    orientations: a match supports forward when the two strand flags
+    agree, reverse when they differ (the role of MHAP's ordered-sketch
+    orientation vote).  With orient=True the majority decides `flipped`
+    (the incoming value is ignored); otherwise the caller's flipped is
+    used.
     """
     from .kmerjoin import masked_median, pair_matches
 
-    canonA, strandA = extract_kmers(wordsA, lenA, k)
-    canonB, strandB = extract_kmers(wordsB, lenB, k)
-    P = canonA.shape[1]
-    validB = canonB != INVALID_KMER
-    validA = canonA != INVALID_KMER
-    posP = jnp.arange(P, dtype=jnp.int32)[None, :]
-    pos = jnp.broadcast_to(posP, canonA.shape).astype(jnp.int32)
+    validA = mkA != INVALID_KMER
+    validB = mkB != INVALID_KMER
 
     hit, posA_m, posB_m, agree = pair_matches(
-        canonA, validA, strandA, pos, canonB, validB, strandB, pos
+        mkA, validA, strA, posA, mkB, validB, strB, posB
     )
     n_same = jnp.sum((hit & agree).astype(jnp.int32), axis=1)
     n_opp = jnp.sum((hit & ~agree).astype(jnp.int32), axis=1)
@@ -275,18 +274,19 @@ def _anchor_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, orient: bool = F
     kidx = jnp.where(keep, col, W2)
     kidx_sorted = jnp.sort(kidx, axis=1)
     m_ramp = jnp.arange(MAX_ANCHORS, dtype=jnp.int32)[None, :]
+    # n_keep <= M: identity picks (anchors land compacted at the front —
+    # the seed index (n_anchor-1)//2 MUST hit a valid slot); n_keep > M:
+    # even subsample, strictly increasing so no duplicate columns
     denom = jnp.maximum(n_keep - 1, 1)[:, None]
-    pick = (m_ramp * denom) // (MAX_ANCHORS - 1)
+    pick_even = (m_ramp * denom) // (MAX_ANCHORS - 1)
+    pick = jnp.where(n_keep[:, None] <= MAX_ANCHORS, m_ramp, pick_even)
     pick = jnp.minimum(pick, jnp.maximum(n_keep[:, None] - 1, 0))
     cols = jnp.take_along_axis(kidx_sorted, pick, axis=1)
     valid_a = (m_ramp < n_keep[:, None]) & (cols < W2)
     cols_c = jnp.clip(cols, 0, W2 - 1)
     aA = jnp.where(valid_a, jnp.take_along_axis(keyA_s, cols_c, axis=1), -1)
     aB = jnp.where(valid_a, jnp.take_along_axis(posB_s, cols_c, axis=1), -1)
-    dup = jnp.concatenate([jnp.zeros((aB.shape[0], 1), bool), aB[:, 1:] == aB[:, :-1]], axis=1)
-    aA = jnp.where(dup, -1, aA)
-    aB = jnp.where(dup, -1, aB)
-    n_anchor = jnp.sum((aA >= 0).astype(jnp.int32), axis=1)
+    n_anchor = jnp.minimum(n_keep, MAX_ANCHORS)
     return aA, aB, n_anchor, flipped, n_minor
 
 
@@ -336,20 +336,30 @@ class OverlapTable:
 
 
 @partial(jax.jit, static_argnames=("k", "band", "n_rows", "orient"))
-def _verify_pre(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_rows: int,
+def _verify_pre(words_all, len_all, mk_all, mp_all, ms_all,
+                a_idx, b_idx, flipped, k: int, band: int, n_rows: int,
                 orient: bool = False):
     """Anchors + seeds + fused fwd/bwd extension INPUTS for one chunk.
 
-    orient=True determines each pair's orientation from the k-mer strand
-    vote (place_candidates folded in); flipped input is then ignored.
-    The extension itself is dispatched by the caller at host level so
-    the (segmented) Myers kernel keeps its own small compiled programs.
+    words_all/len_all/mk_all/mp_all/ms_all are the DEVICE-RESIDENT
+    ReadIndex planes for the whole read set; a_idx/b_idx are 0-based row
+    indices for this chunk (the only per-chunk upload — the axon tunnel
+    moves ~16 MB/s, so shipping packed bases per chunk was the single
+    largest cost of the old design).  orient=True determines each pair's
+    orientation from the minimizer strand vote (place_candidates folded
+    in); flipped input is then ignored.  The extension itself is
+    dispatched by the caller at host level so the (segmented) Myers
+    kernel keeps its own small compiled programs.
     """
-    aA, aB, n_anchor, flipped, n_minor = _anchor_kernel(
-        wordsA, lenA, wordsB, lenB, flipped, k, orient
+    lenA = len_all[a_idx]
+    lenB = len_all[b_idx]
+    aA, aB, n_anchor, flipped, n_minor = _anchor_compact(
+        mk_all[a_idx], mp_all[a_idx], ms_all[a_idx],
+        mk_all[b_idx], mp_all[b_idx], ms_all[b_idx],
+        lenA, lenB, flipped, k, orient
     )
-    basesA = unpack_bases(wordsA)
-    basesB = orient_bases(unpack_bases(wordsB), lenB, flipped)
+    basesA = unpack_bases(words_all[a_idx])
+    basesB = orient_bases(unpack_bases(words_all[b_idx]), lenB, flipped)
 
     m_ramp = jnp.arange(MAX_ANCHORS, dtype=jnp.int32)[None, :]
     seed_m = jnp.maximum(n_anchor - 1, 0) // 2
@@ -422,11 +432,12 @@ def _verify_post(n_anchor, flipped, seedA, seedB, n_minor, e, au, bu,
     )
 
 
-def _verify_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_rows: int,
+def _verify_kernel(index, a_idx, b_idx, flipped, k: int, band: int, n_rows: int,
                    engine: str = "myers", orient: bool = False,
                    max_rows: int | None = None, partial_cap_q: int = 0):
     """Anchor + bidirectional banded extension for one chunk of pairs.
 
+    index is the device ReadIndex; a_idx/b_idx are 0-based row vectors.
     engine: 'myers' (segmented bit-vector kernel, host-orchestrated —
     the default on every backend), 'pallas_x8' (sublane-packed select/
     roll kernel), or 'xla' (reference scan implementation).  Only the
@@ -434,7 +445,8 @@ def _verify_kernel(wordsA, lenA, wordsB, lenB, flipped, k: int, band: int, n_row
     report the full extension as the partial.
     """
     ext_in, n_anchor, flipped, seedA, seedB, n_minor = _verify_pre(
-        wordsA, lenA, wordsB, lenB, flipped, k, band, n_rows, orient
+        index.words, index.length, index.mker, index.mpos, index.mstr,
+        a_idx, b_idx, flipped, k, band, n_rows, orient
     )
     if engine == "pallas_x8":
         from .pallas.extend_x8 import banded_extend_pallas_x8
@@ -517,42 +529,39 @@ def verify_overlaps(
     cols: dict[str, list] = {n: [] for n in (
         "a_id", "b_id", "flipped", "a_bgn", "a_end", "b_bgn", "b_end", "erate_q")}
     M = len(a_id_all)
-    # ONE shape for the whole call: compiles are expensive (remote-compiled
-    # on the axon tunnel), so bucket n_rows by the global longest read.
-    if M:
-        gmax = int(
-            max(
-                readset.length[a_id_all - 1].max(),
-                readset.length[b_id_all - 1].max(),
-            )
-        )
-    else:
-        gmax = 1
-    W = 1 << max(0, int(n_words(gmax) - 1).bit_length())
-    n_rows = W * 16
+    # device-resident read index (packed words + minimizer seeds), built
+    # once per (readset, k) and reused across passes/phases
+    from .minimizers import get_read_index
+
+    index = get_read_index(readset, k=k)
+    n_rows = index.words.shape[1] * 16
     # dispatch every chunk before fetching any result: device queues the
     # work, host pays one round-trip per chunk instead of a sync each
     pending: list[tuple[slice, jax.Array]] = []
+    pad_row = index.n_reads  # all-zero padding row of the index
     for s in range(0, M, chunk):
         sl = slice(s, min(s + chunk, M))
         a_ids = a_id_all[sl]
         b_ids = b_id_all[sl]
         C = len(a_ids)
-        wa, la = readset.block_words(a_ids, W)
-        wb, lb = readset.block_words(b_ids, W)
+        a_idx = (a_ids - 1).astype(np.int32)
+        b_idx = (b_ids - 1).astype(np.int32)
         fl = fl_all[sl]
         if C < chunk:
             pad = chunk - C
-            wa = np.vstack([wa, np.zeros((pad, W), np.uint32)])
-            wb = np.vstack([wb, np.zeros((pad, W), np.uint32)])
-            la = np.concatenate([la, np.zeros(pad, np.int32)])
-            lb = np.concatenate([lb, np.zeros(pad, np.int32)])
+            a_idx = np.concatenate([a_idx, np.full(pad, pad_row, np.int32)])
+            b_idx = np.concatenate([b_idx, np.full(pad, pad_row, np.int32)])
             fl = np.concatenate([fl, np.zeros(pad, bool)])
         # chunks are sorted longest-first: rows needed = this chunk's max
         # read length, so later chunks skip most extension segments
-        chunk_rows = int(max(la.max(initial=1), lb.max(initial=1)))
+        chunk_rows = int(
+            max(
+                readset.length[a_ids - 1].max(initial=1),
+                readset.length[b_ids - 1].max(initial=1),
+            )
+        )
         res = _verify_kernel(
-            jnp.asarray(wa), jnp.asarray(la), jnp.asarray(wb), jnp.asarray(lb),
+            index, jnp.asarray(a_idx), jnp.asarray(b_idx),
             jnp.asarray(fl), k, band, n_rows, engine, orient,
             max_rows=chunk_rows,
             partial_cap_q=int(max_erate * 10000) if partial else 0,

@@ -13,6 +13,9 @@ import sys
 # interpreter startup, which overrides the env var — so we must override the
 # config again after importing jax, before any backend is initialized.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# keep CPU test executables out of the TPU session's persistent cache
+# (cross-machine CPU AOT reloads warn about mismatched -march features)
+os.environ["CANU_TPU_NO_COMPILE_CACHE"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
