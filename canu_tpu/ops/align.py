@@ -87,6 +87,30 @@ def _rev_subseq(bases: jax.Array, end: jax.Array, out_len: int) -> jax.Array:
     return jnp.take_along_axis(bases, idx, axis=1)
 
 
+def _shift_rows(x: jax.Array, t: jax.Array, out_len: int) -> jax.Array:
+    """out[b, i] = x[b, i + t[b]] (zero-filled past the end), t >= 0.
+
+    log2(L) masked-shift rounds — pure elementwise selects.  On TPU a
+    take_along_axis row gather of the same [B, 8192] uint8 block costs
+    ~50 ms; this runs at HBM bandwidth (<1 ms).  Out-of-range positions
+    read 0 ('A'): every consumer masks by read length.
+    """
+    B, L = x.shape
+    if L < out_len:
+        x = jnp.pad(x, ((0, 0), (0, out_len - L)))
+        L = out_len
+    t = t.astype(jnp.int32)
+    j = 0
+    while (1 << j) < L:
+        s = 1 << j
+        shifted = jnp.concatenate(
+            [x[:, s:], jnp.zeros((B, s), x.dtype)], axis=1
+        )
+        x = jnp.where((((t >> j) & 1) == 1)[:, None], shifted, x)
+        j += 1
+    return x[:, :out_len]
+
+
 # ---- banded extension DP ----------------------------------------------------
 
 
@@ -290,18 +314,32 @@ def _anchor_compact(mkA, posA, strA, mkB, posB, strB, lenA, lenB, flipped,
     return aA, aB, n_anchor, flipped, n_minor
 
 
+CENTER_STRIDE = 16  # rows per interpolated band-center sample
+
+
 def _interp_centers(sub_xa, sub_xb, n_sub, n_rows):
     """Piecewise-linear band centers c(i) for rows 0..n_rows from anchor
     points (sub_xa -> sub_xb), slope-1 extrapolation past the last anchor.
 
     sub_xa/sub_xb int32[B, M] padded with big values; first point must be
     (0, 0) (the seed).
+
+    Interpolation runs on a CENTER_STRIDE-coarse row grid and expands by
+    repetition: jnp.interp is a binary search (6 gather rounds over the
+    full [B, n_rows] grid — measured 0.4 s/chunk at [512, 8193]), while
+    the consumer (_band_schedule) clamps the band-start slope to <= 1
+    column/row anyway, smearing each <=16-column step into the same ramp
+    the exact line would give, +-stride/2 jitter inside a 128-wide band.
     """
-    x = jnp.arange(n_rows + 1, dtype=jnp.int32)[None, :].astype(jnp.float32)
+    B = sub_xa.shape[0]
+    nc = -(-n_rows // CENTER_STRIDE) + 1  # samples at 0, S, 2S, ...
+    x = (jnp.arange(nc, dtype=jnp.int32) * CENTER_STRIDE)[None, :].astype(jnp.float32)
     xa = sub_xa.astype(jnp.float32)
     xb = sub_xb.astype(jnp.float32)
-    c = jax.vmap(jnp.interp)(jnp.broadcast_to(x, (sub_xa.shape[0], n_rows + 1)), xa, xb)
-    return jnp.round(c).astype(jnp.int32)
+    c = jax.vmap(jnp.interp)(jnp.broadcast_to(x, (B, nc)), xa, xb)
+    c = jnp.round(c).astype(jnp.int32)
+    full = jnp.repeat(c, CENTER_STRIDE, axis=1)
+    return full[:, : n_rows + 1]
 
 
 # ---- overlap verification ---------------------------------------------------
@@ -359,7 +397,19 @@ def _verify_pre(words_all, len_all, mk_all, mp_all, ms_all,
         lenA, lenB, flipped, k, orient
     )
     basesA = unpack_bases(words_all[a_idx])
-    basesB = orient_bases(unpack_bases(words_all[b_idx]), lenB, flipped)
+    rawB = unpack_bases(words_all[b_idx])
+    # oriented B without a gather: rc = static flip of complements, then a
+    # per-row shift realigns the read to column 0 (flip leaves it at L-len)
+    L = rawB.shape[1]
+    rcB = (3 - rawB)[:, ::-1]
+    basesB = _shift_rows(
+        jnp.where(flipped[:, None], rcB, rawB),
+        jnp.where(flipped, L - lenB, 0),
+        L,
+    )
+    basesB = jnp.where(
+        jnp.arange(L, dtype=jnp.int32)[None, :] < lenB[:, None], basesB, 0
+    )
 
     m_ramp = jnp.arange(MAX_ANCHORS, dtype=jnp.int32)[None, :]
     seed_m = jnp.maximum(n_anchor - 1, 0) // 2
@@ -379,8 +429,8 @@ def _verify_pre(words_all, len_all, mk_all, mp_all, ms_all,
     fa = jnp.where(valid_f, fa, BIGF + m_ramp)
     fb = jnp.where(valid_f, fb, BIGF + m_ramp)
     cen_f = _interp_centers(fa, fb, None, n_rows)
-    a_f = _subseq(basesA, seedA, n_rows)
-    b_f = _subseq(basesB, seedB, n_rows + band)
+    a_f = _shift_rows(basesA, seedA, n_rows)
+    b_f = _shift_rows(basesB, seedB, n_rows + band)
 
     # backward: anchors at indices <= seed_m in reverse order
     idx_b = jnp.maximum(seed_m[:, None] - m_ramp, 0)
@@ -390,8 +440,10 @@ def _verify_pre(words_all, len_all, mk_all, mp_all, ms_all,
     ba = jnp.where(valid_b, ba, BIGF + m_ramp)
     bb = jnp.where(valid_b, bb, BIGF + m_ramp)
     cen_b = _interp_centers(ba, bb, None, n_rows)
-    a_b = _rev_subseq(basesA, seedA, n_rows)
-    b_b = _rev_subseq(basesB, seedB, n_rows + band)
+    # reversed prefixes ending at the seed: static flip + per-row shift
+    La = basesA.shape[1]
+    a_b = _shift_rows(basesA[:, ::-1], La - seedA, n_rows)
+    b_b = _shift_rows(basesB[:, ::-1], L - seedB, n_rows + band)
 
     # both directions fused into ONE extension batch (half the dispatches;
     # rows i and Bn+i stay length-homogeneous for the x8 kernel's groups)
