@@ -36,6 +36,13 @@ def _enable_compile_cache() -> None:
     CANU_TPU_COMPILE_CACHE_DIR."""
     if _os.environ.get("CANU_TPU_NO_COMPILE_CACHE"):
         return
+    # CPU-only runs skip the persistent cache: CPU compiles are fast, and
+    # CPU AOT entries are march-specific (reloading one compiled elsewhere
+    # warns/SIGILLs).  The cache exists for the minutes-per-shape remote
+    # TPU compiles.
+    plat = _os.environ.get("JAX_PLATFORMS", "").lower()
+    if plat and "tpu" not in plat and "axon" not in plat:
+        return
     try:
         import jax
 

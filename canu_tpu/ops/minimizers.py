@@ -100,13 +100,23 @@ def _syncmer_kernel(words, lengths, k: int, pm: int):
         (key, canon, pos, strand.astype(jnp.int32)), dimension=1, num_keys=1
     )
     n_sel = jnp.sum(sel.astype(jnp.int32), axis=1)
-    canon_s = canon_s[:, :pm]
+    # a short block can have fewer k-mer positions than the index width
+    # (Pk < pm): pad the compacted planes out to pm with empties
+    take = min(pm, Pk)
+    canon_s = canon_s[:, :take]
+    pos_s = pos_s[:, :take]
+    str_s = str_s[:, :take]
+    if take < pm:
+        padw = ((0, 0), (0, pm - take))
+        canon_s = jnp.pad(canon_s, padw, constant_values=INVALID_KMER)
+        pos_s = jnp.pad(pos_s, padw, constant_values=-1)
+        str_s = jnp.pad(str_s, padw, constant_values=0)
     col = jnp.arange(pm, dtype=jnp.int32)[None, :]
     live = col < n_sel[:, None]
     return (
         jnp.where(live, canon_s, INVALID_KMER),
-        jnp.where(live, pos_s[:, :pm], -1),
-        jnp.where(live, str_s[:, :pm], 0),
+        jnp.where(live, pos_s, -1),
+        jnp.where(live, str_s, 0),
         jnp.minimum(n_sel, pm),
     )
 

@@ -1,0 +1,377 @@
+"""Ideal-assembly construction + assembly-vs-truth evaluation.
+
+The reference validates assemblies with two tools the test strategy
+leans on (SURVEY §4): `bogus` builds the IDEAL assembly from
+read-to-reference alignments, classifying genome intervals as UNIQ/REPT
+(/root/reference/src/bogus/bogus.C:61-80,441 — intervalList REPT/UNIQ,
+processMatches), and `bogusness` scores real unitigs against that ideal
+(/root/reference/src/bogus/bogusness.C).  Both require an external
+aligner (nucmer/snapper) for the read and unitig placements.
+
+This module is the same harness re-designed for the sim truth world:
+
+  * read placements are EXACT (sim/simulate.ReadTruth) — no aligner;
+  * UNIQ/REPT classification comes from genome k-mer multiplicity
+    (a repeat is a region whose k-mers recur, canonically) instead of
+    multi-mapping alignments;
+  * contig placement uses the same unique-anchor chaining idea the
+    assembler itself uses, and contig identity is measured with the
+    Myers banded kernel (ops.myers) — the assembler's own aligner,
+    exercised here as a measurement instrument.
+
+Outputs mirror bogusness's judgement calls: per-contig placements,
+misjoin count (anchor chain breaks between confidently-placed
+segments), genome fraction covered, duplication ratio, identity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..utils.bitpack import revcomp_codes, seq_to_codes
+from .simulate import ReadTruth
+
+
+# ---- genome k-mer classification (bogus REPT/UNIQ) --------------------------
+
+
+def _pack_kmers(codes: np.ndarray, k: int) -> np.ndarray:
+    """Forward k-mers of a code array as uint64[n-k+1] (2 bits/base)."""
+    n = len(codes) - k + 1
+    if n <= 0:
+        return np.zeros(0, np.uint64)
+    acc = np.zeros(n, np.uint64)
+    for i in range(k):
+        acc = (acc << np.uint64(2)) | codes[i : i + n].astype(np.uint64)
+    return acc
+
+
+def _canonical(kmers: np.ndarray, k: int) -> np.ndarray:
+    """Canonical (min of fwd, rc) k-mers."""
+    rc = np.zeros_like(kmers)
+    fw = kmers.copy()
+    for _ in range(k):
+        rc = (rc << np.uint64(2)) | (np.uint64(3) - (fw & np.uint64(3)))
+        fw >>= np.uint64(2)
+    return np.minimum(kmers, rc)
+
+
+def classify_genome(genome: np.ndarray, k: int = 21) -> tuple[np.ndarray, np.ndarray]:
+    """REPT/UNIQ genome intervals from canonical k-mer multiplicity.
+
+    Returns (rept, uniq): int64 interval arrays [m, 2] (end-exclusive),
+    the role of bogus's REPT/UNIQ intervalLists (bogus.C:70-71).  A
+    position is repetitive when the k-mer starting there occurs more
+    than once (either strand) in the genome.
+    """
+    km = _canonical(_pack_kmers(genome, k), k)
+    if len(km) == 0:
+        return np.zeros((0, 2), np.int64), np.array([[0, len(genome)]], np.int64)
+    uniq, inv, counts = np.unique(km, return_inverse=True, return_counts=True)
+    rep = counts[inv] > 1  # bool per k-mer start position
+    # merge consecutive repeat starts into intervals covering k bases each
+    idx = np.flatnonzero(rep)
+    rept: list[list[int]] = []
+    for p in idx:
+        if rept and p <= rept[-1][1]:
+            rept[-1][1] = max(rept[-1][1], int(p) + k)
+        else:
+            rept.append([int(p), int(p) + k])
+    ra = np.array(rept, np.int64) if rept else np.zeros((0, 2), np.int64)
+    # complement -> UNIQ
+    uq: list[tuple[int, int]] = []
+    pos = 0
+    for b, e in ra:
+        if b > pos:
+            uq.append((pos, int(b)))
+        pos = max(pos, int(e))
+    if pos < len(genome):
+        uq.append((pos, len(genome)))
+    ua = np.array(uq, np.int64) if uq else np.zeros((0, 2), np.int64)
+    return ra, ua
+
+
+# ---- ideal assembly from read truth (bogus processMatches) ------------------
+
+
+def ideal_contigs(truth: ReadTruth, min_overlap: int = 500) -> np.ndarray:
+    """Ideal contig intervals from exact read placements.
+
+    Chains reads whose genome intervals overlap by >= min_overlap — the
+    best any overlap-based assembler can do with these reads (bogus's
+    ideal unitigs, without the repeat-break pessimism).  Returns int64
+    [m, 2] genome intervals; a circular genome that is fully covered
+    yields one interval [0, G).
+    """
+    s = truth.start.astype(np.int64)
+    e = truth.end.astype(np.int64)
+    order = np.argsort(s, kind="stable")
+    s, e = s[order], e[order]
+    out: list[list[int]] = []
+    for b, x in zip(s, e):
+        if out and b <= out[-1][1] - min_overlap:
+            out[-1][1] = max(out[-1][1], int(x))
+        else:
+            out.append([int(b), int(x)])
+    if not out:
+        return np.zeros((0, 2), np.int64)
+    G = truth.genome_len
+    if truth.circular and len(out) > 1:
+        # wrap: reads with end > G continue at 0
+        if out[-1][1] - G >= out[0][0] + min_overlap:
+            out[0][0] = out[-1][0] - G
+            out.pop()
+    arr = np.array(out, np.int64)
+    return arr
+
+
+def ng50(lengths: np.ndarray, genome_len: int) -> int:
+    """NG50: length at which sorted contigs cover half the GENOME."""
+    if len(lengths) == 0:
+        return 0
+    ls = np.sort(np.asarray(lengths))[::-1]
+    c = np.cumsum(ls)
+    i = np.searchsorted(c, genome_len // 2)
+    return int(ls[min(i, len(ls) - 1)])
+
+
+# ---- contig placement + evaluation (bogusness) -------------------------------
+
+
+@dataclass
+class Placement:
+    """One colinear placed segment of a contig on the genome."""
+
+    contig: int  # index into the contig list
+    c_bgn: int
+    c_end: int
+    g_bgn: int
+    g_end: int
+    reverse: bool
+    n_anchors: int
+    identity: float = 0.0
+
+
+@dataclass
+class AssemblyEval:
+    """bogusness-style verdict for one assembly vs its truth genome."""
+
+    placements: list[Placement]
+    n_contigs: int
+    n_placed: int
+    n_misjoins: int  # chain breaks between confident segments of one contig
+    genome_fraction: float  # union of placed genome intervals / G
+    duplication: float  # placed contig bases / covered genome bases
+    identity: float  # alignment identity, weighted by segment length
+    contig_ng50: int
+    ideal_ng50: int
+
+    def summary(self) -> str:
+        return (
+            f"contigs {self.n_contigs} (placed {self.n_placed}); "
+            f"misjoins {self.n_misjoins}; genome fraction "
+            f"{self.genome_fraction:.4f}; duplication {self.duplication:.3f}; "
+            f"identity {self.identity:.4f}; NG50 {self.contig_ng50} "
+            f"(ideal {self.ideal_ng50})"
+        )
+
+
+def _genome_unique_index(genome: np.ndarray, k: int, circular: bool):
+    """Position map of k-mers that occur exactly once (forward strand of
+    the doubled genome if circular, so wrap-spanning anchors exist)."""
+    g = np.concatenate([genome, genome[: 4 * k]]) if circular else genome
+    km = _pack_kmers(g, k)
+    can = _canonical(km, k)
+    uniq, first, counts = np.unique(can, return_index=True, return_counts=True)
+    keep = counts == 1
+    return uniq[keep], first[keep].astype(np.int64)
+
+
+def _contig_anchors(codes: np.ndarray, gk: np.ndarray, gpos: np.ndarray, k: int):
+    """(c_pos, g_pos, fwd_kmer) anchors: contig k-mers matching unique
+    genome k-mers (canonical match; the caller derives orientation by
+    comparing the contig's forward k-mer to the genome's forward k-mer
+    at the matched position — equal iff the anchor is forward)."""
+    km = _pack_kmers(codes, k)
+    can = _canonical(km, k)
+    j = np.searchsorted(gk, can)
+    j = np.clip(j, 0, len(gk) - 1)
+    hit = gk[j] == can
+    cpos = np.flatnonzero(hit).astype(np.int64)
+    gp = gpos[j[hit]]
+    return cpos, gp, km[cpos]
+
+
+def place_contig(
+    codes: np.ndarray,
+    gk: np.ndarray,
+    gpos: np.ndarray,
+    gkm_fwd: np.ndarray,
+    k: int,
+    contig_idx: int,
+    min_anchors: int = 8,
+    min_seg_len: int = 1000,
+    wobble: int = 500,
+) -> list[Placement]:
+    """Chain unique-k-mer anchors into colinear placements.
+
+    A contig that is one faithful genome segment yields ONE placement;
+    chain breaks between confident segments are misjoin evidence
+    (bogusness's BEGINSinUNIQ/ENDSinUNIQ style judgements reduced to
+    colinearity).
+    """
+    cpos, gp, kfwd = _contig_anchors(codes, gk, gpos, k)
+    if len(cpos) < min_anchors:
+        return []
+    rc = gkm_fwd[gp] != kfwd  # anchor matched genome in reverse
+    segs: list[Placement] = []
+    # split anchors into runs of consistent orientation + diagonal
+    run_start = 0
+    for i in range(1, len(cpos) + 1):
+        brk = i == len(cpos)
+        if not brk:
+            dc = cpos[i] - cpos[i - 1]
+            dg = gp[i] - gp[i - 1]
+            same_or = rc[i] == rc[i - 1]
+            exp = -dc if rc[i - 1] else dc
+            brk = (not same_or) or abs(int(dg) - int(exp)) > wobble + dc // 3
+        if brk:
+            n = i - run_start
+            c0, c1 = int(cpos[run_start]), int(cpos[i - 1]) + k
+            if rc[run_start]:
+                g0, g1 = int(gp[i - 1]), int(gp[run_start]) + k
+            else:
+                g0, g1 = int(gp[run_start]), int(gp[i - 1]) + k
+            if n >= min_anchors and c1 - c0 >= min_seg_len:
+                segs.append(
+                    Placement(
+                        contig=contig_idx, c_bgn=c0, c_end=c1, g_bgn=g0,
+                        g_end=g1, reverse=bool(rc[run_start]), n_anchors=n,
+                    )
+                )
+            run_start = i
+    return segs
+
+
+def _segment_identity(
+    contigs: list[np.ndarray], genome_ext: np.ndarray, segs: list[Placement],
+    k: int, band: int = 128,
+) -> None:
+    """Measure alignment identity of each placed segment in one batched
+    Myers pass (the assembler's own verify kernel as a ruler)."""
+    if not segs:
+        return
+    import jax.numpy as jnp
+
+    from ..ops.align import _interp_centers
+    from ..ops.myers import banded_extend_myers
+
+    slack = band
+    max_a = max(s.c_end - s.c_bgn for s in segs)
+    n_rows = max_a
+    B = len(segs)
+    a = np.zeros((B, max_a), np.uint8)
+    b = np.zeros((B, max_a + 2 * slack), np.uint8)
+    a_len = np.zeros(B, np.int32)
+    b_len = np.zeros(B, np.int32)
+    centers = np.zeros((B, 2), np.int64)
+    for i, s in enumerate(segs):
+        ac = contigs[s.contig][s.c_bgn : s.c_end]
+        if s.reverse:
+            ac = revcomp_codes(ac)
+        # b starts EXACTLY at the first anchor's genome position: the DP
+        # is semi-global from (0,0) (leading b columns would be charged
+        # as edits); right slack absorbs contig insertions
+        gc = genome_ext[s.g_bgn : s.g_end + slack]
+        a[i, : len(ac)] = ac
+        b[i, : len(gc)] = gc
+        a_len[i] = len(ac)
+        b_len[i] = len(gc)
+    # band center: straight diagonal — anchors are dense and colinear
+    # within a segment by construction, drift is indel-only
+    xa = np.stack([np.zeros(B, np.int64), a_len.astype(np.int64)], axis=1)
+    xb = xa.copy()
+    cen = _interp_centers(jnp.asarray(xa), jnp.asarray(xb), None, n_rows)
+    e, au, bu = banded_extend_myers(
+        jnp.asarray(a), jnp.asarray(a_len), jnp.asarray(b), jnp.asarray(b_len),
+        cen, band, n_rows, max_rows=int(a_len.max()),
+    )
+    e = np.asarray(e)
+    au = np.asarray(au)
+    for i, s in enumerate(segs):
+        span = max(1, int(au[i]))
+        s.identity = max(0.0, 1.0 - float(e[i]) / span)
+
+
+def evaluate_assembly(
+    genome: np.ndarray,
+    contigs: list[str | np.ndarray],
+    truth: ReadTruth | None = None,
+    k: int = 21,
+    circular: bool = True,
+    min_overlap: int = 500,
+    measure_identity: bool = True,
+) -> AssemblyEval:
+    """Score an assembly against its truth genome (bogusness verdict)."""
+    ctg = [
+        seq_to_codes(c) if isinstance(c, str) else np.asarray(c, np.uint8)
+        for c in contigs
+    ]
+    gk, gpos = _genome_unique_index(genome, k, circular)
+    g_ext = np.concatenate([genome, genome[: 8 * k]]) if circular else genome
+    gkm_fwd = _pack_kmers(g_ext, k)
+    placements: list[Placement] = []
+    n_misjoins = 0
+    placed_ids = set()
+    for ci, codes in enumerate(ctg):
+        segs = place_contig(codes, gk, gpos, gkm_fwd, k, ci)
+        if segs:
+            placed_ids.add(ci)
+        # adjacent confident segments of one contig that are NOT genome-
+        # adjacent (allowing circular wrap) indicate a misjoin
+        for s1, s2 in zip(segs, segs[1:]):
+            gap_c = s2.c_bgn - s1.c_end
+            if s1.reverse == s2.reverse:
+                d = (s2.g_bgn - s1.g_end) if not s1.reverse else (s1.g_bgn - s2.g_end)
+                adjacent = abs(d - gap_c) < 5000 or (
+                    circular and abs((d % len(genome)) - gap_c) < 5000
+                )
+            else:
+                adjacent = False  # orientation flip inside a contig
+            if not adjacent:
+                n_misjoins += 1
+        placements.extend(segs)
+
+    if measure_identity and placements:
+        _segment_identity(ctg, g_ext, placements, k)
+
+    G = len(genome)
+    # genome coverage: union of placed intervals (mod G)
+    cov = np.zeros(G, bool)
+    placed_bases = 0
+    for s in placements:
+        b, e = s.g_bgn % G, s.g_bgn % G + (s.g_end - s.g_bgn)
+        cov[b : min(e, G)] = True
+        if e > G:
+            cov[: e - G] = True
+        placed_bases += s.c_end - s.c_bgn
+    covered = int(cov.sum())
+    ident_w = sum(s.identity * (s.c_end - s.c_bgn) for s in placements)
+
+    lens = np.array([len(c) for c in ctg], np.int64)
+    ideal = (
+        ideal_contigs(truth, min_overlap) if truth is not None else np.zeros((0, 2), np.int64)
+    )
+    return AssemblyEval(
+        placements=placements,
+        n_contigs=len(ctg),
+        n_placed=len(placed_ids),
+        n_misjoins=n_misjoins,
+        genome_fraction=covered / max(1, G),
+        duplication=placed_bases / max(1, covered),
+        identity=ident_w / max(1, placed_bases),
+        contig_ng50=ng50(lens, G),
+        ideal_ng50=ng50(ideal[:, 1] - ideal[:, 0], G) if len(ideal) else 0,
+    )

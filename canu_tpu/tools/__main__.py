@@ -1,0 +1,439 @@
+"""Dispatcher for the ancillary tools — see package docstring."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _force_cpu_ok() -> None:
+    """Tools are host utilities; honor JAX_PLATFORMS if the user set it."""
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+
+# ---- simulate (fastqSimulate) ------------------------------------------------
+
+
+def cmd_simulate(args: argparse.Namespace) -> int:
+    from ..io.fastx import write_fasta
+    from ..sim.simulate import random_genome, simulate_reads
+    from ..utils.bitpack import codes_to_seq
+
+    repeat_spec = None
+    if args.repeat:
+        repeat_spec = [tuple(map(int, r.split("x"))) for r in args.repeat]
+    g = random_genome(args.genome_size, seed=args.seed, repeat_spec=repeat_spec)
+    rs, truth = simulate_reads(
+        g, coverage=args.coverage, mean_len=args.mean_len,
+        min_len=args.min_len, error_rate=args.error_rate,
+        seed=args.seed + 1, circular=args.circular,
+    )
+    write_fasta(args.out, ((rs.name(i), rs.get_seq(i)) for i in range(1, rs.n_reads + 1)))
+    if args.genome_out:
+        write_fasta(args.genome_out, [("genome", codes_to_seq(g))])
+    if args.truth_out:
+        with open(args.truth_out, "w") as fh:
+            fh.write("#read_id\tstart\tend\tstrand\n")
+            for i in range(rs.n_reads):
+                fh.write(
+                    f"{i+1}\t{truth.start[i]}\t{truth.end[i]}\t"
+                    f"{'-' if truth.strand[i] else '+'}\n"
+                )
+    print(f"wrote {rs.n_reads} reads ({rs.total_bases} bases) to {args.out}")
+    return 0
+
+
+# ---- sample (fastqSample) ----------------------------------------------------
+
+
+def cmd_sample(args: argparse.Namespace) -> int:
+    from ..io.fastx import read_fastx, write_fasta
+
+    recs = list(read_fastx(args.input))
+    total = sum(len(r.seq) for r in recs)
+    rng = np.random.default_rng(args.seed)
+    if args.coverage is not None:
+        if not args.genome_size:
+            print("sample: -coverage requires -genomesize", file=sys.stderr)
+            return 2
+        want = int(args.coverage * args.genome_size)
+    else:
+        want = int(total * args.fraction)
+    if args.longest:
+        order = np.argsort([-len(r.seq) for r in recs], kind="stable")
+    else:
+        order = rng.permutation(len(recs))
+    out, acc = [], 0
+    for i in order:
+        if acc >= want:
+            break
+        out.append((recs[i].name, recs[i].seq))
+        acc += len(recs[i].seq)
+    write_fasta(args.out, out)
+    print(f"sampled {len(out)}/{len(recs)} reads, {acc}/{total} bases -> {args.out}")
+    return 0
+
+
+# ---- analyze (fastqAnalyze) --------------------------------------------------
+
+
+def cmd_analyze(args: argparse.Namespace) -> int:
+    from ..io.fastx import read_fastx
+
+    lens, gc, n = [], 0, 0
+    for r in read_fastx(args.input):
+        lens.append(len(r.seq))
+        s = r.seq.upper()
+        gc += s.count("G") + s.count("C")
+        n += s.count("N")
+    if not lens:
+        print("no reads")
+        return 1
+    la = np.sort(np.array(lens))[::-1]
+    tot = int(la.sum())
+    c = np.cumsum(la)
+    n50 = int(la[np.searchsorted(c, tot / 2)])
+    out = {
+        "reads": len(la),
+        "bases": tot,
+        "min": int(la[-1]),
+        "max": int(la[0]),
+        "mean": round(tot / len(la), 1),
+        "n50": n50,
+        "gc": round(gc / max(1, tot - n), 4),
+        "n_bases": n,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+# ---- dump-reads / dump-meta (gatekeeperDump*) --------------------------------
+
+
+def cmd_dump_reads(args: argparse.Namespace) -> int:
+    from ..io.fastx import write_fasta
+    from ..stores.readset import ReadSet
+
+    rs = ReadSet.load(args.store)
+    lo = args.begin or 1
+    hi = min(args.end or rs.n_reads, rs.n_reads)
+    write_fasta(
+        args.out, ((rs.name(i), rs.get_seq(i)) for i in range(lo, hi + 1))
+    )
+    print(f"dumped reads {lo}..{hi} -> {args.out}")
+    return 0
+
+
+def cmd_dump_meta(args: argparse.Namespace) -> int:
+    from ..stores.readset import ReadSet
+
+    rs = ReadSet.load(args.store)
+    hist = rs.length_histogram(args.bin)
+    out = {
+        "reads": rs.n_reads,
+        "bases": rs.total_bases,
+        "max_length": rs.max_length,
+        "mean_length": round(rs.total_bases / max(1, rs.n_reads), 1),
+        f"length_histogram_per_{args.bin}": hist.tolist(),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+# ---- ov-stats / ov-dump / ov-import (ovStore*) --------------------------------
+
+
+def cmd_ov_stats(args: argparse.Namespace) -> int:
+    from ..stores.overlaps import OverlapStore
+
+    st = OverlapStore.load(args.store)
+    per = st.n_overlaps_per_read()
+    eh = st.erate_histogram(bins=50, max_erate=0.5)
+    out = {
+        "overlaps": st.n_overlaps,
+        "reads": len(per),
+        "reads_with_overlaps": int((per > 0).sum()),
+        "overlaps_per_read": {
+            "median": float(np.median(per)),
+            "mean": round(float(per.mean()), 2),
+            "max": int(per.max()) if len(per) else 0,
+        },
+        "erate": {
+            "median": round(float(np.median(st.erate)), 4) if st.n_overlaps else 0,
+            "histogram_1pct_bins": eh.tolist(),
+        },
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_ov_dump(args: argparse.Namespace) -> int:
+    from ..io.overlaps_io import write_table_text
+    from ..ops.align import OverlapTable
+    from ..stores.overlaps import OverlapStore
+
+    st = OverlapStore.load(args.store)
+    # store rows are symmetric (each overlap stored A->B and B->A,
+    # ovStore convention); dump each once
+    m = st.a_id < st.b_id
+    t = OverlapTable(
+        a_id=st.a_id[m], b_id=st.b_id[m], flipped=st.flipped[m],
+        a_bgn=st.a_bgn[m], a_end=st.a_end[m],
+        b_bgn=st.b_bgn[m], b_end=st.b_end[m], erate_q=st.erate_q[m],
+    )
+    n = write_table_text(args.out, t)
+    print(f"dumped {n} overlaps -> {args.out}")
+    return 0
+
+
+def cmd_ov_import(args: argparse.Namespace) -> int:
+    from ..io.overlaps_io import paf_to_table, random_overlaps, read_table_text
+    from ..stores.overlaps import OverlapStore
+
+    if args.random:
+        t = random_overlaps(args.random, n_reads=args.nreads, seed=args.seed)
+        n_reads = args.nreads
+    elif args.paf:
+        from ..io.overlaps_io import name_index
+        from ..stores.readset import ReadSet
+
+        rs = ReadSet.load(args.readstore)
+        t = paf_to_table(args.paf, name_index(rs))
+        n_reads = rs.n_reads
+    else:
+        t = read_table_text(args.input)
+        n_reads = args.nreads or (int(max(t.a_id.max(), t.b_id.max())) if len(t) else 0)
+    st = OverlapStore.build(t, n_reads)
+    st.save(args.store)
+    print(f"imported {st.n_overlaps} overlaps -> {args.store}")
+    return 0
+
+
+# ---- kmer-count (meryl) ------------------------------------------------------
+
+
+def cmd_kmer_count(args: argparse.Namespace) -> int:
+    _force_cpu_ok()
+    from ..ops import kmer as K
+    from ..stores.readset import ReadSet
+
+    rs, _ = ReadSet.from_fastx([args.input])
+    kc = K.count_readset_device(rs, k=args.k, block_size=256)
+    hist = kc.histogram(args.max_count)
+    out = {
+        "k": args.k,
+        "distinct": int(hist[1:].sum()),
+        "total": int((np.arange(len(hist)) * hist).sum()),
+        "histogram": hist.tolist(),
+    }
+    if args.threshold_fraction:
+        fk = K.frequent_kmers(kc, distinct_fraction=args.threshold_fraction)
+        out["frequent_threshold"] = int(fk.threshold)
+        out["frequent_mers"] = int(fk.n)
+    print(json.dumps(out))
+    return 0
+
+
+# ---- tig-dump / tig-display (tgStoreDump, tgTigDisplay) ----------------------
+
+
+def cmd_tig_dump(args: argparse.Namespace) -> int:
+    from ..io.fastx import write_fasta
+    from ..stores.tigs import CLASS_CONTIG, TigStore
+    from ..utils.bitpack import codes_to_seq
+
+    ver = args.version or TigStore.latest_version(args.store)
+    ts = TigStore.load(args.store, version=ver)
+    if args.what == "fasta":
+        recs = [
+            (f"tig{t.tig_id:08d} len={t.length} reads={t.n_reads}",
+             codes_to_seq(t.consensus))
+            for t in ts
+            if t.consensus is not None and (args.all or t.tig_class == CLASS_CONTIG)
+        ]
+        write_fasta(args.out or "/dev/stdout", recs)
+    elif args.what == "layout":
+        fh = open(args.out, "w") if args.out else sys.stdout
+        for t in ts:
+            for i in range(t.n_reads):
+                fh.write(
+                    f"tig{t.tig_id:08d}\t{int(t.read_id[i])}\t{int(t.bgn[i])}\t"
+                    f"{int(t.end[i])}\t{'-' if t.rev[i] else '+'}\n"
+                )
+        if args.out:
+            fh.close()
+    elif args.what == "sizes":
+        lens = sorted((t.length for t in ts if t.tig_class == CLASS_CONTIG), reverse=True)
+        print(json.dumps({
+            "tigs": len(ts), "contigs": len(lens), "total": sum(lens),
+            "n50": ts.n50(), "largest": lens[0] if lens else 0,
+        }))
+    return 0
+
+
+def cmd_tig_display(args: argparse.Namespace) -> int:
+    from ..stores.tigs import TigStore
+
+    ver = args.version or TigStore.latest_version(args.store)
+    ts = TigStore.load(args.store, version=ver)
+    for t in ts:
+        if t.tig_id != args.tig:
+            continue
+        print(f"tig {t.tig_id}: class={t.tig_class} len={t.length} "
+              f"reads={t.n_reads} cov={t.coverage():.1f}")
+        for i in range(t.n_reads):
+            b, e = int(t.bgn[i]), int(t.end[i])
+            print(f"  read {int(t.read_id[i]):>8} {b:>9}-{e:<9} "
+                  f"{'<--' if t.rev[i] else '-->'}")
+        return 0
+    print(f"tig {args.tig} not found", file=sys.stderr)
+    return 1
+
+
+# ---- bogus (assembly-vs-truth) -----------------------------------------------
+
+
+def cmd_bogus(args: argparse.Namespace) -> int:
+    _force_cpu_ok()
+    from ..io.fastx import read_fastx
+    from ..sim.bogus import classify_genome, evaluate_assembly
+    from ..utils.bitpack import seq_to_codes
+
+    genome = seq_to_codes(next(iter(read_fastx(args.genome))).seq)
+    contigs = [r.seq for r in read_fastx(args.assembly)]
+    ev = evaluate_assembly(
+        genome, contigs, k=args.k, circular=args.circular,
+    )
+    print(ev.summary())
+    if args.intervals:
+        rept, uniq = classify_genome(genome, k=args.k)
+        print(f"REPT intervals: {rept.tolist()}")
+        print(f"UNIQ intervals: {len(uniq)} covering "
+              f"{int((uniq[:,1]-uniq[:,0]).sum())} bases")
+    if args.verbose:
+        for p in ev.placements:
+            print(f"  contig {p.contig}: c[{p.c_bgn}:{p.c_end}] -> "
+                  f"g[{p.g_bgn}:{p.g_end}] {'-' if p.reverse else '+'} "
+                  f"anchors={p.n_anchors} identity={p.identity:.4f}")
+    return 0 if ev.n_misjoins == 0 else 1
+
+
+# ---- dispatcher ---------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="canu_tpu.tools")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("simulate", help="generate a sim genome + noisy reads")
+    s.add_argument("-genomesize", dest="genome_size", type=int, required=True)
+    s.add_argument("-coverage", type=float, default=25.0)
+    s.add_argument("-meanlen", dest="mean_len", type=int, default=8000)
+    s.add_argument("-minlen", dest="min_len", type=int, default=1000)
+    s.add_argument("-error", dest="error_rate", type=float, default=0.1)
+    s.add_argument("-seed", type=int, default=1)
+    s.add_argument("-circular", action="store_true")
+    s.add_argument("-repeat", action="append",
+                   help="LENxCOPIES planted repeat (repeatable)")
+    s.add_argument("-o", dest="out", required=True)
+    s.add_argument("-genome-out", dest="genome_out")
+    s.add_argument("-truth-out", dest="truth_out")
+    s.set_defaults(fn=cmd_simulate)
+
+    s = sub.add_parser("sample", help="subsample reads to coverage/fraction")
+    s.add_argument("input")
+    s.add_argument("-o", dest="out", required=True)
+    s.add_argument("-coverage", type=float)
+    s.add_argument("-genomesize", dest="genome_size", type=int)
+    s.add_argument("-fraction", type=float, default=0.5)
+    s.add_argument("-longest", action="store_true")
+    s.add_argument("-seed", type=int, default=1)
+    s.set_defaults(fn=cmd_sample)
+
+    s = sub.add_parser("analyze", help="read stats (JSON)")
+    s.add_argument("input")
+    s.set_defaults(fn=cmd_analyze)
+
+    s = sub.add_parser("dump-reads", help="ReadSet store -> FASTA")
+    s.add_argument("store")
+    s.add_argument("-o", dest="out", required=True)
+    s.add_argument("-b", dest="begin", type=int)
+    s.add_argument("-e", dest="end", type=int)
+    s.set_defaults(fn=cmd_dump_reads)
+
+    s = sub.add_parser("dump-meta", help="ReadSet store stats (JSON)")
+    s.add_argument("store")
+    s.add_argument("-bin", type=int, default=1000)
+    s.set_defaults(fn=cmd_dump_meta)
+
+    s = sub.add_parser("ov-stats", help="overlap store stats (JSON)")
+    s.add_argument("store")
+    s.set_defaults(fn=cmd_ov_stats)
+
+    s = sub.add_parser("ov-dump", help="overlap store -> text")
+    s.add_argument("store")
+    s.add_argument("-o", dest="out", required=True)
+    s.set_defaults(fn=cmd_ov_dump)
+
+    s = sub.add_parser("ov-import", help="text/PAF/random -> overlap store")
+    s.add_argument("-i", dest="input")
+    s.add_argument("-paf")
+    s.add_argument("-readstore")
+    s.add_argument("-random", type=int)
+    s.add_argument("-nreads", type=int, default=0)
+    s.add_argument("-seed", type=int, default=1)
+    s.add_argument("-o", dest="store", required=True)
+    s.set_defaults(fn=cmd_ov_import)
+
+    s = sub.add_parser("kmer-count", help="k-mer histogram + threshold (JSON)")
+    s.add_argument("input")
+    s.add_argument("-k", type=int, default=16)
+    s.add_argument("-maxcount", dest="max_count", type=int, default=1000)
+    s.add_argument("-threshold-fraction", dest="threshold_fraction", type=float)
+    s.set_defaults(fn=cmd_kmer_count)
+
+    s = sub.add_parser("tig-dump", help="tig store -> fasta/layout/sizes")
+    s.add_argument("store")
+    s.add_argument("what", choices=["fasta", "layout", "sizes"])
+    s.add_argument("-o", dest="out")
+    s.add_argument("-version", type=int)
+    s.add_argument("-all", action="store_true", help="include unassembled")
+    s.set_defaults(fn=cmd_tig_dump)
+
+    s = sub.add_parser("tig-display", help="print one tig layout")
+    s.add_argument("store")
+    s.add_argument("tig", type=int)
+    s.add_argument("-version", type=int)
+    s.set_defaults(fn=cmd_tig_display)
+
+    s = sub.add_parser("bogus", help="evaluate assembly vs truth genome")
+    s.add_argument("-genome", required=True)
+    s.add_argument("-assembly", required=True)
+    s.add_argument("-k", type=int, default=21)
+    s.add_argument("-circular", action="store_true")
+    s.add_argument("-intervals", action="store_true")
+    s.add_argument("-verbose", action="store_true")
+    s.set_defaults(fn=cmd_bogus)
+
+    return p
+
+
+def main(argv: list[str]) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -101,6 +101,17 @@ def test_full_pipeline_raw_to_contigs(tmp_path, sim_reads):
 
     ident = identity_vs_genome(bitpack.seq_to_codes(big.seq), genome)
     assert ident >= 0.98, ident
+    # bogusness-style verdict on the whole assembly: everything places,
+    # nothing is chimeric, most of the genome is covered exactly once
+    from canu_tpu.sim.bogus import evaluate_assembly
+
+    ev = evaluate_assembly(
+        genome, [c.seq for c in contigs], k=21, circular=False
+    )
+    assert ev.n_misjoins == 0, ev.summary()
+    assert ev.genome_fraction > 0.8, ev.summary()
+    assert ev.identity >= 0.98, ev.summary()
+    assert ev.duplication < 1.5, ev.summary()
     # report exists and mentions every phase
     with open(os.path.join(wd, "t.report")) as fh:
         rep = fh.read()
