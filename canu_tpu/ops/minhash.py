@@ -89,6 +89,9 @@ def build_sketches(
     seeds = jnp.asarray(hash_seeds(n_hashes, seed))
     fk = jnp.asarray(_fk_array(frequent))
     out = np.full((readset.n_reads, n_hashes), 0xFFFFFFFF, dtype=np.uint32)
+    # dispatch every block before fetching any (one round-trip per block,
+    # not one sync per block — the device pipelines the whole pass)
+    pending = []
     for ids, W in length_bucketed_blocks(readset, block_size):
         words, lengths = readset.block_words(ids, W)
         if len(ids) < block_size:
@@ -96,6 +99,8 @@ def build_sketches(
             words = np.vstack([words, np.zeros((pad, W), np.uint32)])
             lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
         sk = _sketch_kernel(jnp.asarray(words), jnp.asarray(lengths), seeds, fk, k)
+        pending.append((ids, sk))
+    for ids, sk in pending:
         out[ids - 1] = np.asarray(sk)[: len(ids)]
     return out
 
@@ -149,27 +154,33 @@ def find_candidates(
     S = jnp.asarray(sketches)
     rows: list[np.ndarray] = []
     starts = list(range(0, N, block_size))
+    # dispatch EVERY block pair before fetching any result: the device
+    # queues the whole job matrix and the host pays one round-trip per
+    # pair instead of a sync each (the n_found fetch serialized the loop)
+    pending = []
     for bi, sa in enumerate(starts):
         ea = min(sa + block_size, N)
         SA = S[sa:ea]
         for sb in starts[bi:]:
             eb = min(sb + block_size, N)
             SB = S[sb:eb]
-            ii, jj, cc, n_found = _match_kernel(
+            out = _match_kernel(
                 SA, SB, min_matches, sa == sb, max_out_per_blockpair
             )
-            nf = int(n_found)
-            if nf > max_out_per_blockpair:
-                raise RuntimeError(
-                    f"candidate overflow in block pair ({sa},{sb}): {nf}; "
-                    f"raise max_out_per_blockpair or min_matches"
-                )
-            if nf == 0:
-                continue
-            ii = np.asarray(ii[:nf]).astype(np.int64) + sa + 1
-            jj = np.asarray(jj[:nf]).astype(np.int64) + sb + 1
-            cc = np.asarray(cc[:nf]).astype(np.int64)
-            rows.append(np.stack([ii, jj, cc], axis=1))
+            pending.append((sa, sb, out))
+    for sa, sb, (ii, jj, cc, n_found) in pending:
+        nf = int(n_found)
+        if nf > max_out_per_blockpair:
+            raise RuntimeError(
+                f"candidate overflow in block pair ({sa},{sb}): {nf}; "
+                f"raise max_out_per_blockpair or min_matches"
+            )
+        if nf == 0:
+            continue
+        ii = np.asarray(ii[:nf]).astype(np.int64) + sa + 1
+        jj = np.asarray(jj[:nf]).astype(np.int64) + sb + 1
+        cc = np.asarray(cc[:nf]).astype(np.int64)
+        rows.append(np.stack([ii, jj, cc], axis=1))
     if not rows:
         return np.zeros((0, 3), dtype=np.int64)
     out = np.concatenate(rows)

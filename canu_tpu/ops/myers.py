@@ -105,6 +105,8 @@ def _sel(cond, a, b):
     return tuple(jnp.where(cond, x, y) for x, y in zip(a, b))
 
 
+UNROLL = int(__import__("os").environ.get("CANU_TPU_MYERS_UNROLL", "8"))
+
 SEGMENT = 512  # rows per compiled segment: ONE kernel shape (B, SEGMENT)
 # is reused for every segment of every chunk of every dataset, so the
 # (remote, superlinearly scan-length-sensitive) compile happens once per
@@ -289,7 +291,11 @@ def _myers_segment(carry, a, b, s_seg, ent_seg, a_len, b_len, i0, cap_q,
                p_ext, p_edits, p_a, p_b)
         return new, None
 
-    carry, _ = jax.lax.scan(step, carry, (s_seg, a_seg, b_in, steps))
+    # unroll: the VPU work per step is ~100 small [B] vector ops, so the
+    # XLA while-loop's per-iteration overhead dominates; unrolling packs
+    # UNROLL rows per loop iteration (measured on v5e: see BASELINE.md)
+    carry, _ = jax.lax.scan(step, carry, (s_seg, a_seg, b_in, steps),
+                            unroll=UNROLL)
     return carry
 
 
