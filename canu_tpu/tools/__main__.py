@@ -330,6 +330,23 @@ def cmd_bogus(args: argparse.Namespace) -> int:
     return 0 if ev.n_misjoins == 0 else 1
 
 
+def cmd_options(args: argparse.Namespace) -> int:
+    """Parameter registry dump (-options, Defaults.pm:327-348), plus the
+    markdown table docs/parameter-reference.md is generated from."""
+    from ..config.registry import Config
+
+    c = Config()
+    if not args.markdown:
+        print(c.print_options())
+        return 0
+    print("| Parameter | Default | Synopsis |")
+    print("|---|---|---|")
+    for lk in sorted(c.registry):
+        p = c.registry[lk]
+        print(f"| `{p.key}` | `{c.values[lk]!r}` | {p.synopsis} |")
+    return 0
+
+
 # ---- dispatcher ---------------------------------------------------------------
 
 
@@ -417,6 +434,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("tig", type=int)
     s.add_argument("-version", type=int)
     s.set_defaults(fn=cmd_tig_display)
+
+    s = sub.add_parser("options", help="print the parameter registry")
+    s.add_argument("-markdown", action="store_true",
+                   help="emit the docs/parameter-reference.md table")
+    s.set_defaults(fn=cmd_options)
 
     s = sub.add_parser("bogus", help="evaluate assembly vs truth genome")
     s.add_argument("-genome", required=True)
