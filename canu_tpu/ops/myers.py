@@ -46,6 +46,14 @@ WORD = 32
 NW = 4  # words per band: band == 128
 
 
+def _on_tpu() -> bool:
+    try:
+        plat = jax.devices()[0].platform.lower()
+    except Exception:
+        return False
+    return plat in ("tpu", "axon")
+
+
 def _band_schedule(centers: jax.Array, b_len: jax.Array, band: int) -> jax.Array:
     """Band start o(i) per row: centered on the anchor chain, clamped to
     [0, b_len], monotonic, slope <= 1 column/row (so a window shift is a
@@ -328,6 +336,121 @@ def _myers_finish(carry, a_len, b_len, band: int):
     return edits, a_used, b_used, p_edits, p_a, p_b
 
 
+@partial(jax.jit, static_argnames=("n_rows",))
+def _pack_inputs(a, b, s_segs, ent_segs, n_rows: int):
+    """Packed Pallas-kernel inputs (see pallas.myers_pallas):
+
+      sa  [n_rows/8, R, 128] u32 — 8 rows x (shift | a_chr<<1), 3 b/row;
+      ew0/ew1 [n_rows/16, R, 128] u32 — 2-bit-packed B words covering
+        the <=16 entering chars of each 16-row block (+ the next word);
+      bw  [n_rows/16, R, 128] u32 — B position of ew0 bit 0.
+
+    The entering-char fetch is 2 gathered words per 16 rows instead of
+    the old 1 gathered char per row: 16x fewer gather indices, 8x less
+    stream traffic (measured 0.39 s -> ~0.03 s per group on v5e)."""
+    n_seg, seg, B = s_segs.shape
+    R = B // 128
+    s = s_segs.reshape(n_seg * seg, B)[:n_rows].astype(jnp.uint32)
+    a_rows = a[:, :n_rows].astype(jnp.uint32).T
+    v = (s | (a_rows << jnp.uint32(1))).reshape(n_rows // 8, 8, B)
+    sh = (3 * jnp.arange(8, dtype=jnp.uint32))[None, :, None]
+    sa = jnp.sum(v << sh, axis=1, dtype=jnp.uint32)
+
+    ent = ent_segs.reshape(n_seg * seg, B)[:n_rows]  # e = o(i+1) + 127
+    e0 = ent[::16]  # [n_blocks, B]; block advance <= 15 chars
+    LB = b.shape[1]
+    nw2 = -(-LB // 16) + 1
+    bp = jnp.pad(b, ((0, 0), (0, nw2 * 16 - LB))).astype(jnp.uint32)
+    shw = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    bpk = jnp.sum(bp.reshape(B, nw2, 16) << shw, axis=2, dtype=jnp.uint32)
+    widx = jnp.clip(e0 >> 4, 0, nw2 - 2)
+    ew0 = jnp.take_along_axis(bpk, widx.T, axis=1).T
+    ew1 = jnp.take_along_axis(bpk, widx.T + 1, axis=1).T
+    bw = (widx << 4).astype(jnp.uint32)
+
+    def r3(x):
+        return x.reshape(x.shape[0], R, 128)
+
+    return r3(sa), r3(ew0), r3(ew1), r3(bw)
+
+
+@jax.jit
+def _carry_pack(carry):
+    """XLA carry tuple ([B] planes) -> [NC, B/128, 128] u32."""
+    (VP, VN, Peq, sf, o, best_bx, aend_bx, bend_bx,
+     finVP, finVN, fin_sf, fin_o, p_ext, p_edits, p_a, p_b) = carry
+    planes = (list(VP) + list(VN)
+              + [w for c in range(4) for w in Peq[c]]
+              + [sf, o, best_bx, aend_bx, bend_bx]
+              + list(finVP) + list(finVN)
+              + [fin_sf, fin_o, p_ext, p_edits, p_a, p_b])
+    B = planes[0].shape[0]
+    return jnp.stack([p.astype(jnp.uint32).reshape(B // 128, 128)
+                      for p in planes])
+
+
+@jax.jit
+def _carry_unpack(arr):
+    """[NC, R, 128] u32 -> the XLA carry tuple ([B] planes)."""
+    B = arr.shape[1] * 128
+    fl = arr.reshape(arr.shape[0], B)
+
+    def u(i):
+        return fl[i]
+
+    def s(i):
+        return fl[i].astype(jnp.int32)
+
+    k = NW
+    VP = tuple(u(i) for i in range(0, k))
+    VN = tuple(u(i) for i in range(k, 2 * k))
+    Peq = tuple(tuple(u(2 * k + 4 * c + w) for w in range(k)) for c in range(4))
+    base = 2 * k + 4 * k
+    finVP = tuple(u(base + 5 + i) for i in range(k))
+    finVN = tuple(u(base + 5 + k + i) for i in range(k))
+    b2 = base + 5 + 2 * k
+    return (VP, VN, Peq, s(base), s(base + 1), s(base + 2), s(base + 3),
+            s(base + 4), finVP, finVN, s(b2), s(b2 + 1), s(b2 + 2),
+            s(b2 + 3), s(b2 + 4), s(b2 + 5))
+
+
+def _run_pallas(a, a_len, b, b_len, centers, band: int, n_rows: int,
+                seg: int, n_seg: int, run_segs: int, cap_q,
+                interpret: bool = False):
+    """Pallas path: prep + init in XLA, the whole row loop in ONE
+    pallas_call (per pow2-quantized segment count), finish in XLA."""
+    from .pallas.myers_pallas import myers_run_pallas
+
+    B = a.shape[0]
+    pad = (-B) % 1024  # RT * 128 lanes per grid tile
+    if pad:
+        a = jnp.pad(a, ((0, pad), (0, 0)))
+        b = jnp.pad(b, ((0, pad), (0, 0)))
+        a_len = jnp.pad(a_len, (0, pad))
+        b_len = jnp.pad(b_len, (0, pad))
+        centers = jnp.pad(centers, ((0, pad), (0, 0)))
+    Bp = B + pad
+    # pow2-quantize the live segment count: one compiled kernel per
+    # (Bp, runq) pair, served from the persistent cache
+    runq = 1
+    while runq < run_segs:
+        runq *= 2
+    runq = min(runq, n_seg)
+    s_segs, ent_segs, o0 = _myers_prep(b_len, centers, band, n_seg, seg)
+    sa, ew0, ew1, bw = _pack_inputs(a, b, s_segs, ent_segs, runq * seg)
+    carry0 = _carry_pack(_myers_init(b, b_len, a_len, o0, band))
+    R = Bp // 128
+    out = myers_run_pallas(
+        carry0, sa, ew0, ew1, bw,
+        a_len.reshape(R, 128), b_len.reshape(R, 128),
+        jnp.int32(cap_q), seg=seg, n_seg=runq, interpret=interpret,
+    )
+    res = _myers_finish(_carry_unpack(out), a_len, b_len, band)
+    if pad:
+        res = tuple(r[:B] for r in res)
+    return res
+
+
 def banded_extend_myers(
     a: jax.Array,  # uint8[B, LA] (row 0 = first char to align)
     a_len: jax.Array,  # int32[B]
@@ -339,6 +462,7 @@ def banded_extend_myers(
     segment: int = SEGMENT,
     max_rows: int | None = None,
     partial_cap_q: int | None = None,
+    impl: str | None = None,
 ):
     """Drop-in equivalent of banded_extend (band must be 128).
 
@@ -363,14 +487,24 @@ def banded_extend_myers(
     need = n_seg * seg
     if a.shape[1] < need:
         a = jnp.pad(a, ((0, 0), (0, need - a.shape[1])))
-    s_segs, ent_segs, o0 = _myers_prep(b_len, centers, band, n_seg, seg)
-    carry = _myers_init(b, b_len, a_len, o0, band)
     run_segs = n_seg
     if max_rows is not None:
         run_segs = max(1, min(n_seg, -(-int(max_rows) // seg)))
     # kernel condition is edits*20000 <= cap_q*(a+b), i.e. edits within
     # cap_q (0.01% fixed-point) of the mean-span (a+b)/2
     cap_q = jnp.int32(0 if partial_cap_q is None else int(partial_cap_q))
+    if impl is None:
+        impl = __import__("os").environ.get("CANU_TPU_MYERS_IMPL", "")
+    if not impl:
+        impl = "pallas" if _on_tpu() else "xla"
+    if impl.startswith("pallas"):
+        out = _run_pallas(
+            a, a_len, b, b_len, centers, band, n_rows, seg, n_seg,
+            run_segs, cap_q, interpret=(impl == "pallas_interpret"),
+        )
+        return out if partial_cap_q is not None else out[:3]
+    s_segs, ent_segs, o0 = _myers_prep(b_len, centers, band, n_seg, seg)
+    carry = _myers_init(b, b_len, a_len, o0, band)
     for t in range(run_segs):
         carry = _myers_segment(
             carry, a, b, s_segs[t], ent_segs[t], a_len, b_len,
