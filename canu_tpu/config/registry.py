@@ -120,6 +120,8 @@ class Config:
         self._reg("repeatConfusedAbsolute", 2100, int, "bogart -ca: external edge within this score of internal -> confused")
         self._reg("repeatConfusedPercent", 200.0, float, "bogart -cp: external edge within this percent of internal -> confused")
         self._reg("utgGraphDeviation", 6.0, float, "erate deviation filter for best edges (reserved)")
+        self._reg("ovlSpillPairs", 20_000_000, int,
+                  "candidate-pair count above which verified overlaps stream to disk (native external sort)")
         self._reg("maxMemory", 0, int, "advisory memory cap (GB); 0 = unlimited")
         self._reg("maxThreads", 0, int, "advisory host thread cap; 0 = auto")
         self._reg("useGrid", False, _bool, "reserved: multi-host execution")

@@ -2,8 +2,13 @@
 
 Built in-tree from native/*.cc (no pybind11 in this image; plain C ABI).
 Everything has a pure-Python fallback, so the package works without a
-compiler; `build_native()` compiles on demand and tests cover both
-paths.
+compiler; libraries compile on demand and tests cover both paths.
+
+Components:
+  fastparse — FASTA/FASTQ scanner + base coder (gatekeeper hot path);
+  ovsort    — external merge sort of overlap records (the overlap-store
+              build beyond RAM; replaces ovStoreBucketizer/Sorter/Indexer,
+              /root/reference/src/stores/ovStore*.C).
 """
 
 from __future__ import annotations
@@ -17,46 +22,58 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _REPO = os.path.dirname(os.path.dirname(_HERE))
-_SRC = os.path.join(_REPO, "native", "fastparse.cc")
-_SO = os.path.join(_HERE, "libfastparse.so")
 
-_lib: Optional[ctypes.CDLL] = None
-_tried = False
+_LIBS = {
+    "fastparse": os.path.join(_REPO, "native", "fastparse.cc"),
+    "ovsort": os.path.join(_REPO, "native", "ovsort.cc"),
+}
+
+_loaded: dict[str, Optional[ctypes.CDLL]] = {}
 
 
-def build_native(force: bool = False) -> bool:
-    """Compile native/*.cc -> canu_tpu/native/*.so. Returns success."""
-    if os.path.exists(_SO) and not force:
-        if not os.path.exists(_SRC) or os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+def _so_path(name: str) -> str:
+    return os.path.join(_HERE, f"lib{name}.so")
+
+
+def build_native(name: str = "fastparse", force: bool = False) -> bool:
+    """Compile native/<name>.cc -> canu_tpu/native/lib<name>.so."""
+    src = _LIBS[name]
+    so = _so_path(name)
+    if os.path.exists(so) and not force:
+        if not os.path.exists(src) or os.path.getmtime(so) >= os.path.getmtime(src):
             return True
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO + ".tmp", _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o", so + ".tmp", src],
             check=True, capture_output=True,
         )
-        os.replace(_SO + ".tmp", _SO)
+        os.replace(so + ".tmp", so)
         return True
     except Exception:
         return False
 
 
-def get_lib() -> Optional[ctypes.CDLL]:
-    """The native library, building it on first use; None if unavailable."""
-    global _lib, _tried
-    if _lib is not None:
-        return _lib
-    if _tried:
+def get_lib(name: str = "fastparse") -> Optional[ctypes.CDLL]:
+    """The named native library, building on first use; None if unavailable."""
+    if name in _loaded:
+        return _loaded[name]
+    _loaded[name] = None
+    if not build_native(name):
         return None
-    _tried = True
-    if not build_native():
-        return None
-    lib = ctypes.CDLL(_SO)
-    lib.fastx_scan.restype = ctypes.c_longlong
-    lib.fastx_scan.argtypes = [
-        ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
-    ]
-    _lib = lib
+    lib = ctypes.CDLL(_so_path(name))
+    if name == "fastparse":
+        lib.fastx_scan.restype = ctypes.c_longlong
+        lib.fastx_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+        ]
+    elif name == "ovsort":
+        lib.ovsort_file.restype = ctypes.c_longlong
+        lib.ovsort_file.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_longlong, ctypes.c_int,
+        ]
+    _loaded[name] = lib
     return lib
 
 
@@ -66,7 +83,7 @@ def fastx_scan(data: bytes):
     Returns (codes uint8[N], rec_off int64[R+1], names list[str]) or None
     if the native library is unavailable (caller falls back to Python).
     """
-    lib = get_lib()
+    lib = get_lib("fastparse")
     if lib is None:
         return None
     n = len(data)
@@ -99,3 +116,23 @@ def fastx_scan(data: bytes):
         for i in range(nrec)
     ]
     return codes, rec_off[: nrec + 1].copy(), names
+
+
+def ovsort_file(in_path: str, out_path: str, tmp_dir: str,
+                mem_budget: int = 1 << 30, n_threads: int = 0) -> Optional[int]:
+    """External-merge-sort a packed overlap-record file by (a_id, b_id).
+
+    Returns the record count, or None if the native library is
+    unavailable (caller falls back to a numpy sort).  Raises on IO /
+    format errors reported by the native side.
+    """
+    lib = get_lib("ovsort")
+    if lib is None:
+        return None
+    r = lib.ovsort_file(
+        in_path.encode(), out_path.encode(), tmp_dir.encode(),
+        int(mem_budget), int(n_threads),
+    )
+    if r < 0:
+        raise OSError(f"ovsort_file failed with code {r}")
+    return int(r)

@@ -587,6 +587,7 @@ def verify_overlaps(
     min_shared: int = 4,
     partial: bool = False,
     palindromic_min: int = 0,
+    sink=None,
 ) -> OverlapTable:
     """Verify candidates with the banded extension; returns OverlapTable.
 
@@ -611,6 +612,11 @@ def verify_overlaps(
     in BOTH orientations, producing the duplicate opposite-orientation
     overlap pairs that subread-loop detection keys on
     (/root/reference/src/overlapBasedTrimming/splitReads-subReads.C).
+
+    sink: optional callable(OverlapTable) receiving each chunk's kept
+    overlaps instead of accumulating them in RAM — the scale path
+    (stores.overlaps.OverlapSpill + native external sort).  The returned
+    table is then empty.
     """
     if engine is None:
         engine = "pallas_x8" if use_pallas else "myers"
@@ -732,16 +738,23 @@ def verify_overlaps(
                         [a_ids[pm], b_ids[pm], flc[pm].astype(np.int64)], axis=1
                     )
                 )
-        cols["a_id"].append(a_ids[keep].astype(np.int32))
-        cols["b_id"].append(b_ids[keep].astype(np.int32))
-        cols["flipped"].append(flc[keep])
-        cols["a_bgn"].append(a_bgn[keep].astype(np.int32))
-        cols["a_end"].append(a_end[keep].astype(np.int32))
-        cols["b_bgn"].append(b_bgn_f[keep].astype(np.int32))
-        cols["b_end"].append(b_end_f[keep].astype(np.int32))
-        cols["erate_q"].append(
-            np.minimum(np.round(erate[keep] * 10000), 65535).astype(np.uint16)
+        chunk_out = OverlapTable(
+            a_id=a_ids[keep].astype(np.int32),
+            b_id=b_ids[keep].astype(np.int32),
+            flipped=flc[keep],
+            a_bgn=a_bgn[keep].astype(np.int32),
+            a_end=a_end[keep].astype(np.int32),
+            b_bgn=b_bgn_f[keep].astype(np.int32),
+            b_end=b_end_f[keep].astype(np.int32),
+            erate_q=np.minimum(
+                np.round(erate[keep] * 10000), 65535
+            ).astype(np.uint16),
         )
+        if sink is not None:
+            sink(chunk_out)
+        else:
+            for name in cols:
+                cols[name].append(getattr(chunk_out, name))
 
     # second pass: verify palindromic pairs in the MINORITY orientation,
     # yielding the duplicate opposite-orientation overlaps the subread
@@ -762,10 +775,11 @@ def verify_overlaps(
         t2 = verify_overlaps(
             readset, cand2, k=k, band=band, max_erate=max_erate,
             min_overlap=min_overlap, chunk=chunk, engine=engine,
-            min_shared=min_shared, partial=partial,
+            min_shared=min_shared, partial=partial, sink=sink,
         )
-        for name in cols:
-            cols[name].append(getattr(t2, name))
+        if sink is None:
+            for name in cols:
+                cols[name].append(getattr(t2, name))
 
     def cat(name, dtype):
         arrs = cols[name]

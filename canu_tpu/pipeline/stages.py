@@ -118,6 +118,16 @@ def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
         n_hashes, min_matches = cfg.sketch_preset(tag, coverage)
         sk = MH.build_sketches(rs, k=k, n_hashes=n_hashes, frequent=fk, block_size=256)
         pairs = MH.find_candidates(sk, min_matches=min_matches, block_size=1024)
+        # beyond-RAM scale: stream verified chunks to a spill file and
+        # build the store with the native external merge sort instead of
+        # accumulating the table in memory
+        spill = None
+        sink = None
+        if len(pairs) >= int(cfg.get("ovlSpillPairs")):
+            from ..stores.overlaps import OverlapSpill
+
+            spill = OverlapSpill(os.path.join(d, f"{ctx.prefix}.ovl.spill"))
+            sink = spill.append
         # orientation vote + anchor chains + banded verification in ONE
         # device pass (place_candidates is folded into verify_overlaps)
         ov = AL.verify_overlaps(
@@ -140,8 +150,12 @@ def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
             palindromic_min=(
                 int(cfg.get(tag + "MinShared")) if tag == "obt" else 0
             ),
+            sink=sink,
         )
-        st = OverlapStore.build(ov, rs.n_reads)
+        if spill is not None:
+            st = OverlapStore.build_spilled(spill, rs.n_reads)
+        else:
+            st = OverlapStore.build(ov, rs.n_reads)
         st.save(store)
         per_read = st.n_overlaps_per_read()
         # errorEstimate equivalent: summarize the observed error

@@ -35,6 +35,15 @@ from ..ops.align import OverlapTable
 
 _COLS = ("a_id", "b_id", "flipped", "a_bgn", "a_end", "b_bgn", "b_end", "erate_q")
 
+# packed on-disk record for the external (beyond-RAM) build; layout must
+# match native/ovsort.cc Rec exactly (28 bytes, no padding holes)
+REC_DTYPE = np.dtype([
+    ("a_id", "<u4"), ("b_id", "<u4"),
+    ("a_bgn", "<i4"), ("a_end", "<i4"), ("b_bgn", "<i4"), ("b_end", "<i4"),
+    ("erate_q", "<u2"), ("flipped", "u1"), ("pad", "u1"),
+])
+assert REC_DTYPE.itemsize == 28
+
 
 class OverlapStore:
     def __init__(self, n_reads: int, **cols: np.ndarray):
@@ -75,6 +84,52 @@ class OverlapStore:
             b_end=b_end[order].astype(np.int32),
             erate_q=erate_q[order].astype(np.uint16),
         )
+
+    # ---- construction at scale (streaming spill + external sort) ----
+
+    @classmethod
+    def from_records(cls, recs: np.ndarray, n_reads: int) -> "OverlapStore":
+        """Store from an already-(a_id, b_id)-sorted REC_DTYPE array."""
+        return cls(
+            n_reads,
+            a_id=recs["a_id"].astype(np.int32),
+            b_id=recs["b_id"].astype(np.int32),
+            flipped=recs["flipped"].astype(bool),
+            a_bgn=np.ascontiguousarray(recs["a_bgn"]),
+            a_end=np.ascontiguousarray(recs["a_end"]),
+            b_bgn=np.ascontiguousarray(recs["b_bgn"]),
+            b_end=np.ascontiguousarray(recs["b_end"]),
+            erate_q=np.ascontiguousarray(recs["erate_q"]),
+        )
+
+    @classmethod
+    def build_spilled(cls, spill: "OverlapSpill", n_reads: int,
+                      mem_budget: int = 1 << 30) -> "OverlapStore":
+        """Build from a spill file via the native external merge sort
+        (replaces the reference's grid-parallel bucketize/sort/index
+        build for stores that exceed RAM); numpy lexsort fallback."""
+        from ..native import ovsort_file
+
+        spill.close()
+        out = spill.path + ".sorted"
+        n = None
+        try:
+            n = ovsort_file(spill.path, out, os.path.dirname(spill.path) or ".",
+                            mem_budget)
+        except OSError:
+            n = None
+        if n is None:  # no native toolchain: in-memory fallback
+            recs = np.fromfile(spill.path, dtype=REC_DTYPE)
+            order = np.lexsort((recs["b_id"], recs["a_id"]))
+            st = cls.from_records(recs[order], n_reads)
+            os.remove(spill.path)
+            return st
+        recs = np.memmap(out, dtype=REC_DTYPE, mode="r")
+        st = cls.from_records(recs, n_reads)
+        del recs
+        os.remove(spill.path)
+        os.remove(out)
+        return st
 
     # ---- access ----
 
@@ -135,3 +190,48 @@ class OverlapStore:
         with np.load(os.path.join(path, "overlaps.npz")) as z:
             cols = {c: z[c] for c in _COLS}
         return cls(meta["n_reads"], **cols)
+
+
+class OverlapSpill:
+    """Streaming writer of symmetrized overlap records to a spill file.
+
+    The scale path of the overlap stage: each verified OverlapTable batch
+    is appended (both orientations) without being held in RAM; the final
+    store is built by OverlapStore.build_spilled (native external merge
+    sort).  Plays the role of the reference's per-job .ovb outputs that
+    ovStoreBucketizer scatters (/root/reference/src/stores/
+    ovStoreBucketizer.C:50-71)."""
+
+    def __init__(self, path: str):
+        self.path = os.fspath(path)
+        self._fh = open(self.path, "wb")
+        self.n_rows = 0
+
+    def append(self, table: OverlapTable) -> None:
+        m = len(table)
+        if m == 0:
+            return
+        recs = np.zeros(2 * m, dtype=REC_DTYPE)
+        recs["a_id"][:m] = table.a_id
+        recs["a_id"][m:] = table.b_id
+        recs["b_id"][:m] = table.b_id
+        recs["b_id"][m:] = table.a_id
+        recs["a_bgn"][:m] = table.a_bgn
+        recs["a_bgn"][m:] = table.b_bgn
+        recs["a_end"][:m] = table.a_end
+        recs["a_end"][m:] = table.b_end
+        recs["b_bgn"][:m] = table.b_bgn
+        recs["b_bgn"][m:] = table.a_bgn
+        recs["b_end"][:m] = table.b_end
+        recs["b_end"][m:] = table.a_end
+        recs["erate_q"][:m] = table.erate_q
+        recs["erate_q"][m:] = table.erate_q
+        recs["flipped"][:m] = table.flipped
+        recs["flipped"][m:] = table.flipped
+        recs.tofile(self._fh)
+        self.n_rows += 2 * m
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
