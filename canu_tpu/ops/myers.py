@@ -57,12 +57,38 @@ def _on_tpu() -> bool:
 def _band_schedule(centers: jax.Array, b_len: jax.Array, band: int) -> jax.Array:
     """Band start o(i) per row: centered on the anchor chain, clamped to
     [0, b_len], monotonic, slope <= 1 column/row (so a window shift is a
-    1-bit operation).  Mirrors banded_extend's schedule with SMAX=1."""
-    o = jnp.clip(centers - band // 2, 0, jnp.maximum(b_len, 0)[:, None])
-    o = jax.lax.associative_scan(jnp.maximum, o, axis=1)
-    ramp = jnp.arange(o.shape[1], dtype=jnp.int32)[None, :]
-    o = jax.lax.associative_scan(jnp.minimum, o - ramp, axis=1) + ramp
-    return o
+    1-bit operation).
+
+    The slope cap makes exact tracking impossible when the target rises
+    faster than 1/row (interp staircases; net-insertion drift in B).  A
+    one-sided prefix-min (the old schedule) LATCHES low: after any early
+    dip the band rises at exactly slope 1 and can never catch a
+    net-rising center again — measured on an 80 kb contig-vs-genome
+    alignment, the path left the band top and inflated the edit count
+    30x.  Instead take the midpoint of the two extreme 1-Lipschitz
+    monotone envelopes of the target — the forward (catch-up-from-below)
+    lower envelope and the backward (anticipate-rises) upper envelope —
+    which tracks the target within HALF its worst drift defect, the
+    optimum for any slope-limited schedule.  For targets that are
+    already slope <= 1 (straight diagonals) both envelopes equal the
+    target and the schedule is unchanged."""
+    t = jnp.clip(centers - band // 2, 0, jnp.maximum(b_len, 0)[:, None])
+    t = jax.lax.associative_scan(jnp.maximum, t, axis=1)  # monotone target
+    ramp = jnp.arange(t.shape[1], dtype=jnp.int32)[None, :]
+    # forward lower envelope: min_{j<=i}(t_j - j) + i
+    lo = jax.lax.associative_scan(jnp.minimum, t - ramp, axis=1) + ramp
+    # backward upper envelope: max_{j>=i}(t_j - j) + i
+    hi = (
+        jnp.flip(
+            jax.lax.associative_scan(jnp.maximum, jnp.flip(t - ramp, axis=1), axis=1),
+            axis=1,
+        )
+        + ramp
+    )
+    o = (lo + hi) >> 1
+    # anchor the start: the DP origin sits at column o(0), so o(0) must
+    # stay at the (clipped) target start, catching up at slope 1
+    return jnp.minimum(o, t[:, :1] + ramp)
 
 
 def _pack_bits(bits: jax.Array) -> tuple[jax.Array, ...]:

@@ -152,6 +152,12 @@ class Placement:
     reverse: bool
     n_anchors: int
     identity: float = 0.0
+    # anchor chain in segment-local coords (a = oriented contig offset,
+    # b = genome offset from g_bgn), ascending in a — the identity
+    # ruler's band follows this chain, so indel random-walk over long
+    # segments never leaves the band
+    anchor_a: np.ndarray | None = None
+    anchor_b: np.ndarray | None = None
 
 
 @dataclass
@@ -245,10 +251,24 @@ def place_contig(
             else:
                 g0, g1 = int(gp[run_start]), int(gp[i - 1]) + k
             if n >= min_anchors and c1 - c0 >= min_seg_len:
+                ca = cpos[run_start:i]
+                ga = gp[run_start:i]
+                if rc[run_start]:
+                    # oriented-a offset of a k-mer at contig pos cp:
+                    # rc maps [cp, cp+k) to [c1-cp-k, c1-cp)
+                    aa = c1 - ca - k - c0
+                    order = np.argsort(aa)
+                    aa = aa[order]
+                    bb = ga[order] - g0
+                else:
+                    aa = ca - c0
+                    bb = ga - g0
                 segs.append(
                     Placement(
                         contig=contig_idx, c_bgn=c0, c_end=c1, g_bgn=g0,
                         g_end=g1, reverse=bool(rc[run_start]), n_anchors=n,
+                        anchor_a=aa.astype(np.int64),
+                        anchor_b=bb.astype(np.int64),
                     )
                 )
             run_start = i
@@ -289,10 +309,33 @@ def _segment_identity(
         b[i, : len(gc)] = gc
         a_len[i] = len(ac)
         b_len[i] = len(gc)
-    # band center: straight diagonal — anchors are dense and colinear
-    # within a segment by construction, drift is indel-only
-    xa = np.stack([np.zeros(B, np.int64), a_len.astype(np.int64)], axis=1)
+    # band center follows each segment's anchor chain (piecewise linear,
+    # slope-1 extrapolation past the last anchor) — a straight diagonal
+    # drifts out of a 128-band over tens-of-kb segments because indel
+    # noise random-walks
+    M = 64
+    BIG = np.int64(1 << 24)
+    ramp = np.arange(M, dtype=np.int64)
+    xa = np.tile(BIG + ramp, (B, 1))
     xb = xa.copy()
+    for i, s in enumerate(segs):
+        if s.anchor_a is None or len(s.anchor_a) == 0:
+            xa[i, 0] = 0
+            xb[i, 0] = 0
+            continue
+        pts_a = np.concatenate([[0], s.anchor_a])
+        pts_b = np.concatenate([[0], s.anchor_b])
+        if len(pts_a) > M:
+            pick = np.linspace(0, len(pts_a) - 1, M).astype(np.int64)
+            pts_a, pts_b = pts_a[pick], pts_b[pick]
+        # strictly ascending in a (interp needs monotone sample points)
+        keep = np.concatenate([[True], np.diff(pts_a) > 0])
+        pts_a, pts_b = pts_a[keep], pts_b[keep]
+        m = len(pts_a)
+        xa[i, :m] = pts_a
+        xb[i, :m] = pts_b
+        xa[i, m:] = pts_a[-1] + 1 + ramp[: M - m]
+        xb[i, m:] = pts_b[-1] + 1 + ramp[: M - m]
     cen = _interp_centers(jnp.asarray(xa), jnp.asarray(xb), None, n_rows)
     e, au, bu = banded_extend_myers(
         jnp.asarray(a), jnp.asarray(a_len), jnp.asarray(b), jnp.asarray(b_len),
