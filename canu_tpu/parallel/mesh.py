@@ -107,6 +107,73 @@ def sharded_overlap_step(mesh: Mesh, k: int = 16, min_matches: int = 3):
     return jax.jit(step)
 
 
+def make_shard_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D mesh ('s') for shuffle-style stages (k-mer count, store sort)."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), ("s",))
+
+
+def sharded_kmer_count_step(mesh: Mesh, k: int = 16, bin_capacity: int = 0):
+    """Distributed k-mer counting by hash range (the multi-host meryl).
+
+    Every device extracts its local reads' canonical k-mers, routes each
+    to its owner shard (mix32(kmer) mod n) with ONE all_to_all — the
+    collective replacing the reference's disk shuffle (ovStore-style
+    bucketize/sort, SURVEY §2.13(3)) — then counts its hash range with a
+    local sort.  Because all copies of a k-mer land on one shard, local
+    counts are GLOBAL counts; the count histogram is psum-merged.
+
+    step(words [N, W] u32, lengths [N] i32) ->
+      (kmers u32[n*cap] per shard (INVALID-padded), counts i32[n*cap],
+       hist i32[65] replicated, n_dropped i32 replicated)
+    bin_capacity: per-destination send slots; k-mers beyond it are
+    dropped and counted in n_dropped (size for ~2x the expected
+    kmers/n_shards).  0 = auto from shapes.
+    """
+    from ..ops.kmer import histogram_device, sort_count
+
+    n = mesh.devices.size
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("s", None), P("s")),
+        out_specs=(P("s", None), P("s", None), P(), P()),
+        check_vma=False,
+    )
+    def step(words, lengths):
+        canon, _ = extract_kmers(words, lengths, k)
+        km = canon.reshape(-1)
+        valid = km != INVALID_KMER
+        cap = bin_capacity or max(128, (2 * km.shape[0]) // n)
+        owner = jnp.where(valid, mix32(km) % jnp.uint32(n), jnp.uint32(n))
+        owner_s, km_s = jax.lax.sort((owner, km), dimension=0, num_keys=1)
+        # rank of each element within its owner bin
+        start = jnp.searchsorted(owner_s, jnp.arange(n + 1, dtype=jnp.uint32))
+        idx = jnp.arange(km.shape[0], dtype=jnp.int32)
+        own_i = jnp.minimum(owner_s, n).astype(jnp.int32)
+        rank = idx - start[own_i].astype(jnp.int32)
+        keep = (owner_s < n) & (rank < cap)
+        n_dropped = jnp.sum((owner_s < n) & (rank >= cap), dtype=jnp.int32)
+        send = jnp.full((n, cap), INVALID_KMER, jnp.uint32)
+        # non-kept entries are routed to row n == out of bounds -> dropped
+        send = send.at[
+            jnp.where(keep, own_i, n), jnp.where(keep, rank, 0)
+        ].set(km_s, mode="drop")
+        recv = jax.lax.all_to_all(send, "s", split_axis=0, concat_axis=0,
+                                  tiled=True)
+        mine, counts = sort_count(recv.reshape(-1))
+        hist = histogram_device(
+            jnp.where(mine != INVALID_KMER, counts, 0), 64
+        )
+        hist = jax.lax.psum(hist, "s")
+        n_dropped = jax.lax.psum(n_dropped, "s")
+        return mine[None, :], counts[None, :].astype(jnp.int32), hist, n_dropped
+
+    return jax.jit(step)
+
+
 def sharded_pipeline_step(mesh: Mesh, k: int = 16, band: int = 128):
     """The FULL sharded overlap step: k-mer histogram (psum collective),
     sketch index ('h'-sharded, all_gather), all-vs-all candidate counts

@@ -56,3 +56,36 @@ def test_sharded_matches_single_device():
     # overlapping reads should actually share sketch slots
     assert (np.diagonal(cnt_ref)[np.asarray(lengths) > 0] > 0).all()
     assert (cnt_ref - np.diag(np.diagonal(cnt_ref))).max() > 0
+
+
+def test_sharded_kmer_count_all_to_all():
+    """Hash-range k-mer counting over all_to_all == single-device counts."""
+    from canu_tpu.ops.kmer import INVALID_KMER, extract_kmers
+    from canu_tpu.parallel.mesh import make_shard_mesh, sharded_kmer_count_step
+
+    g = random_genome(5000, seed=21)
+    rs, _ = simulate_reads(g, coverage=5, mean_len=600, min_len=400,
+                           error_rate=0.04, seed=22)
+    N, k = 24, 14
+    W = 1 << (n_words(rs.max_length) - 1).bit_length()
+    words, lengths = _block(rs, N, W)
+
+    mesh = make_shard_mesh(8)
+    step = sharded_kmer_count_step(mesh, k=k)
+    kmers, counts, hist, dropped = step(jnp.asarray(words), jnp.asarray(lengths))
+    kmers, counts = np.asarray(kmers).reshape(-1), np.asarray(counts).reshape(-1)
+    assert int(dropped) == 0
+
+    # reference: numpy count of all canonical k-mers
+    canon, _ = extract_kmers(jnp.asarray(words), jnp.asarray(lengths), k)
+    ref = np.asarray(canon).reshape(-1)
+    ref = ref[ref != INVALID_KMER]
+    ref_k, ref_c = np.unique(ref, return_counts=True)
+
+    got = {int(km): int(c) for km, c in zip(kmers, counts)
+           if km != INVALID_KMER and c > 0}
+    assert got == {int(a): int(b) for a, b in zip(ref_k, ref_c)}
+
+    # histogram (bins >= 1) matches the reference count-of-counts
+    ref_hist = np.bincount(np.minimum(ref_c, 64), minlength=65)
+    np.testing.assert_array_equal(np.asarray(hist)[1:], ref_hist[1:])
