@@ -21,6 +21,7 @@ canu_tpu.parallel.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Iterator, Optional
@@ -351,6 +352,29 @@ class KmerCounts:
     def at_most(self, threshold: int) -> "KmerCounts":
         m = self.counts <= threshold
         return KmerCounts(self.k, self.unique[m], self.counts[m])
+
+    # ---- persistence (meryl .mcidx/.mcdat database equivalent) ------------
+
+    def save(self, path: str) -> None:
+        """Persist the counted database (one compressed file; plays the
+        role of the reference meryl's .mcidx/.mcdat DB pair written by
+        /root/reference/src/meryl/libmeryl.C — counted once, reused by
+        later stages and DB algebra)."""
+        np.savez_compressed(
+            path if str(path).endswith(".npz") else f"{path}.npz",
+            k=np.int64(self.k), unique=self.unique, counts=self.counts,
+        )
+
+    @staticmethod
+    def load(path: str) -> "KmerCounts":
+        p = str(path)
+        if not p.endswith(".npz") and os.path.exists(p + ".npz"):
+            p = p + ".npz"
+        with np.load(p) as z:
+            return KmerCounts(
+                int(z["k"]), z["unique"].astype(np.uint32),
+                z["counts"].astype(np.int64),
+            )
 
 
 def count_reads(

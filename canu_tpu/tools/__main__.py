@@ -231,7 +231,8 @@ def cmd_kmer_count(args: argparse.Namespace) -> int:
 
     rs, _ = ReadSet.from_fastx([args.input])
     kc = K.count_readset_device(rs, k=args.k, block_size=256)
-    hist = kc.histogram(args.max_count)
+    hist = kc.histogram(args.max_count).copy()
+    hist[0] = 0  # device histogram bin 0 counts padding slots
     out = {
         "k": args.k,
         "distinct": int(hist[1:].sum()),
@@ -242,7 +243,38 @@ def cmd_kmer_count(args: argparse.Namespace) -> int:
         fk = K.frequent_kmers(kc, distinct_fraction=args.threshold_fraction)
         out["frequent_threshold"] = int(fk.threshold)
         out["frequent_mers"] = int(fk.n)
+    if args.db_out:
+        kc.to_host().save(args.db_out)
+        out["db"] = args.db_out
     print(json.dumps(out))
+    return 0
+
+
+def cmd_kmer_op(args: argparse.Namespace) -> int:
+    """meryl DB algebra over saved databases (meryl-binaryOp.C /
+    meryl-unaryOp.C op table: add/sub/min/max/and/or + count filters)."""
+    from ..ops.kmer import KmerCounts
+
+    a = KmerCounts.load(args.a)
+    if args.op in ("at-least", "at-most"):
+        if args.n is None:
+            print("kmer-op: -n required for count filters", file=sys.stderr)
+            return 1
+        r = a.at_least(args.n) if args.op == "at-least" else a.at_most(args.n)
+    else:
+        if not args.b:
+            print(f"kmer-op: {args.op} needs a second DB", file=sys.stderr)
+            return 1
+        b = KmerCounts.load(args.b)
+        r = {
+            "add": a.union_sum, "union-min": a.union_min,
+            "union-max": a.union_max, "intersect-min": a.intersect_min,
+            "intersect-max": a.intersect_max, "intersect-sum": a.intersect_sum,
+            "subtract": a.subtract, "difference": a.difference,
+        }[args.op](b)
+    r.save(args.out)
+    print(json.dumps({"op": args.op, "distinct": r.n_distinct,
+                      "total": r.n_total, "db": args.out}))
     return 0
 
 
@@ -419,7 +451,19 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("-k", type=int, default=16)
     s.add_argument("-maxcount", dest="max_count", type=int, default=1000)
     s.add_argument("-threshold-fraction", dest="threshold_fraction", type=float)
+    s.add_argument("-o", dest="db_out", help="save counted DB (.npz)")
     s.set_defaults(fn=cmd_kmer_count)
+
+    s = sub.add_parser("kmer-op", help="meryl DB algebra on saved DBs")
+    s.add_argument("op", choices=["add", "union-min", "union-max",
+                                  "intersect-min", "intersect-max",
+                                  "intersect-sum", "subtract", "difference",
+                                  "at-least", "at-most"])
+    s.add_argument("a")
+    s.add_argument("b", nargs="?")
+    s.add_argument("-n", type=int, help="threshold for count filters")
+    s.add_argument("-o", dest="out", required=True)
+    s.set_defaults(fn=cmd_kmer_op)
 
     s = sub.add_parser("tig-dump", help="tig store -> fasta/layout/sizes")
     s.add_argument("store")

@@ -101,3 +101,13 @@ def test_merge_counts():
     m = a.merge(b)
     np.testing.assert_array_equal(m.unique, [1, 3, 4, 5])
     np.testing.assert_array_equal(m.counts, [2, 11, 1, 4])
+
+
+def test_db_save_load_roundtrip(tmp_path):
+    a = K.KmerCounts(16, np.array([1, 3, 5], np.uint32), np.array([2, 1, 4], np.int64))
+    p = str(tmp_path / "db")
+    a.save(p)
+    b = K.KmerCounts.load(p)
+    assert b.k == 16
+    np.testing.assert_array_equal(b.unique, a.unique)
+    np.testing.assert_array_equal(b.counts, a.counts)

@@ -152,3 +152,25 @@ def test_tig_dump_and_display(tmp_path):
     r = run_tool(["tig-display", store, "1"])
     assert r.returncode == 0, r.stderr
     assert "read        3" in r.stdout and "<--" in r.stdout
+
+
+def test_kmer_db_and_ops(sim_files, tmp_path):
+    d, reads, genome, truth = sim_files
+    db1 = str(tmp_path / "a.npz")
+    db2 = str(tmp_path / "b.npz")
+    r = run_tool(["kmer-count", reads, "-k", "14", "-o", db1])
+    assert r.returncode == 0, r.stderr
+    n1 = json.loads(r.stdout)["distinct"]
+    r = run_tool(["kmer-count", genome, "-k", "14", "-o", db2])
+    assert r.returncode == 0, r.stderr
+    # intersect: genomic k-mers present in the reads
+    out = str(tmp_path / "i.npz")
+    r = run_tool(["kmer-op", "intersect-min", db1, db2, "-o", out])
+    assert r.returncode == 0, r.stderr
+    st = json.loads(r.stdout)
+    assert 0 < st["distinct"] <= n1
+    # count filter on the result
+    out2 = str(tmp_path / "f.npz")
+    r = run_tool(["kmer-op", "at-least", out, "-n", "2", "-o", out2])
+    assert r.returncode == 0, r.stderr
+    assert json.loads(r.stdout)["distinct"] <= st["distinct"]
