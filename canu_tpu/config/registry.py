@@ -119,12 +119,13 @@ class Config:
         self._reg("repeatMinEvidence", 2, int, "min distinct external reads to call a repeat region")
         self._reg("repeatConfusedAbsolute", 2100, int, "bogart -ca: external edge within this score of internal -> confused")
         self._reg("repeatConfusedPercent", 200.0, float, "bogart -cp: external edge within this percent of internal -> confused")
-        self._reg("utgGraphDeviation", 6.0, float, "erate deviation filter for best edges (reserved)")
+        self._reg("utgGraphDeviation", 6.0, float, "best edges above median + this*MAD erate are filtered (bogart deviation filter)")
         self._reg("ovlSpillPairs", 20_000_000, int,
                   "candidate-pair count above which verified overlaps stream to disk (native external sort)")
         self._reg("maxMemory", 0, int, "advisory memory cap (GB); 0 = unlimited")
         self._reg("maxThreads", 0, int, "advisory host thread cap; 0 = auto")
-        self._reg("useGrid", False, _bool, "reserved: multi-host execution")
+        self._reg("useGrid", False, _bool, "launch via jax.distributed on SLURM/TPU-pod (parallel.launch)")
+        self._reg("shardedCompute", "auto", str, "run meryl/overlap-candidate stages on the device mesh: auto (on when >1 device), true, false")
         self._reg("onSuccess", "", str, "command to run when the pipeline finishes (gets the prefix as arg)")
         self._reg("onFailure", "", str, "command to run when the pipeline fails (gets the prefix as arg)")
 
@@ -204,8 +205,8 @@ class Config:
             raise ConfigError("genomeSize must be set (e.g. genomeSize=4.6m)")
         for tag in _TAGS:
             k = self.get(tag + "MerSize")
-            if not (2 <= k <= 16):
-                raise ConfigError(f"{tag}MerSize={k} unsupported (device k <= 16)")
+            if not (2 <= k <= 32):
+                raise ConfigError(f"{tag}MerSize={k} unsupported (device k <= 32)")
             bw = self.get(tag + "BandWidth")
             if bw % 128 != 0:
                 raise ConfigError(f"{tag}BandWidth={bw} must be a multiple of 128")

@@ -1,21 +1,31 @@
 """Best-overlap-graph unitig construction (bogart equivalent, host side).
 
 Re-implements the core of the reference bogart phase sequence
-(/root/reference/src/bogart/bogart.C:386-630) on host numpy over the
+(/root/reference/src/bogart/bogart.C:386-630) as columnar numpy over the
 device-verified OverlapStore:
 
   * overlap classification into containment / 5'-dovetail / 3'-dovetail
     per read end (BestOverlapGraph semantics,
     /root/reference/src/bogart/AS_BAT_BestOverlapGraph.H:139-258);
-  * best edge per read end by score (span with erate penalty), erate
-    gated at the graph error rate;
+  * the reference's read-hygiene filter cascade
+    (AS_BAT_BestOverlapGraph.C constructor order): suspicious marking
+    (good overlaps must merge to ONE interval on the read), the global
+    error-profile deviation limit (median + deviation * 1.4826 * MAD of
+    best-edge erates, utgGraphDeviation), spur/singleton marking (edges
+    out of spurs allowed, never into them), and lopsided-edge marking
+    (non-mutual best edges whose partner overlap lengths differ > 5%);
+    best edges are re-picked after each filter, exactly like the
+    reference re-runs findEdges();
   * greedy mutual-best walks build unitigs (populateUnitig,
     bogart.C:406-414) — requiring mutuality folds the reference's
     ChunkGraph mutual-best-chain seeding into the walk itself;
   * contained reads placed into their container's tig (placeContains,
-    bogart.C:442-459);
-  * leftover reads become singleton unassembled tigs (classification per
-    contigFilter, bogart.C:562-598).
+    bogart.C:442-459) — resolved level-by-level over the containment
+    forest, no per-read fixpoint loop;
+  * spur reads surviving at contig tips are dropped back to singletons
+    (dropDeadEnds role, bogart.C:540-560);
+  * leftover reads become singleton unassembled tigs (promoteToSingleton
+    + classification per contigFilter, bogart.C:562-598).
 
 Positions are hang-arithmetic estimates (consensus refines them), like
 the reference's initial tgPositions before optimizePositions.
@@ -32,8 +42,18 @@ import numpy as np
 
 from ..stores.overlaps import OverlapStore
 from ..stores.tigs import CLASS_CONTIG, CLASS_UNASSEMBLED, Tig, TigStore
+from ..utils.intervals import covered_intervals_all
 
 END5, END3 = 0, 1
+
+
+def _last_per_key(keys: np.ndarray, order_val: np.ndarray):
+    """Indices selecting, for every distinct key, the entry with the
+    LARGEST order_val (ties -> later input index), via one lexsort."""
+    order = np.lexsort((order_val, keys))
+    ks = keys[order]
+    last = np.flatnonzero(np.concatenate([ks[1:] != ks[:-1], [True]]))
+    return order[last]
 
 
 @dataclass
@@ -54,6 +74,11 @@ class BestOverlapGraph:
         max_erate: float = 0.30,
         end_slop: int = 100,
         min_span: int = 500,
+        deviation: float = 6.0,
+        filter_suspicious: bool = True,
+        filter_high_error: bool = True,
+        filter_spur: bool = True,
+        filter_lopsided: bool = True,
     ):
         self.store = store
         self.n = store.n_reads
@@ -61,8 +86,29 @@ class BestOverlapGraph:
         self.max_erate = max_erate
         self.end_slop = end_slop
         self.min_span = min_span
+        self.deviation = deviation
+        self.error_limit = max_erate
+        self.suspicious = np.zeros(self.n + 1, bool)
+        self.spur = np.zeros(self.n + 1, bool)
+        self.singleton = np.zeros(self.n + 1, bool)
         self._classify()
-        self._pick_best()
+        # the reference's constructor sequence: findEdges, then each
+        # enabled filter followed by a findEdges re-pick
+        # (AS_BAT_BestOverlapGraph.C BestOverlapGraph::BestOverlapGraph)
+        self._find_edges()
+        if filter_suspicious:
+            self._mark_suspicious()
+            self._find_edges()
+        if filter_high_error:
+            self._compute_error_limit()
+            self._find_edges()
+        if filter_spur:
+            self._mark_spurs()
+            self._find_edges()
+        if filter_lopsided:
+            self._mark_lopsided()
+            self._find_edges()
+            self._mark_spurs()  # refresh tip info for dropDeadEnds
 
     def _classify(self) -> None:
         st = self.store
@@ -78,7 +124,7 @@ class BestOverlapGraph:
         b_l0 = bp_bgn <= slop
         b_r0 = bp_end >= len_b - slop
         span_a = (st.a_end - st.a_bgn).astype(np.int64)
-        ok = (st.erate <= self.max_erate) & (span_a >= self.min_span)
+        self.base_ok = (st.erate <= self.max_erate) & (span_a >= self.min_span)
 
         # containment must be asymmetric: near-identical reads (same span,
         # both ends flush) would otherwise mark EACH OTHER contained and
@@ -86,47 +132,143 @@ class BestOverlapGraph:
         # longer, ties broken by id (the reference resolves duplicate
         # reads similarly in gatekeeper dedup + bogart contain handling)
         a_longer = (len_a > len_b) | ((len_a == len_b) & (st.a_id < st.b_id))
-        self.b_contained = ok & b_l0 & b_r0 & ~(a_l0 & a_r0 & ~a_longer) & a_longer
-        self.a_contained = ok & a_l0 & a_r0 & ~a_longer  # A inside B
+        self.geo_b_contained = b_l0 & b_r0 & ~(a_l0 & a_r0 & ~a_longer) & a_longer
+        self.geo_a_contained = a_l0 & a_r0 & ~a_longer  # A inside B
         # dovetail off A's 5' end: B' sticks out left
-        self.dove5 = ok & a_l0 & b_r0 & ~b_l0 & ~a_r0
+        self.geo_dove5 = a_l0 & b_r0 & ~b_l0 & ~a_r0
         # dovetail off A's 3' end: B' sticks out right
-        self.dove3 = ok & a_r0 & b_l0 & ~b_r0 & ~a_l0
-        self.score = np.where(ok, span_a * (1.0 - st.erate.astype(np.float64)), -1.0)
+        self.geo_dove3 = a_r0 & b_l0 & ~b_r0 & ~a_l0
+        self.span_a = span_a
+        self.raw_score = span_a * (1.0 - st.erate.astype(np.float64))
         self.bp_bgn, self.bp_end = bp_bgn, bp_end
 
-    def _pick_best(self) -> None:
+    # ---- edge picking (findEdges equivalent, fully columnar) ----
+
+    def _gate(self) -> np.ndarray:
+        # suspicious reads KEEP their edges (the reference only bars them
+        # from seeding tigs, AS_BAT_PopulateUnitig.C:166 / ChunkGraph.C:73)
+        st = self.store
+        return self.base_ok & (st.erate <= self.error_limit)
+
+    def _find_edges(self) -> None:
         st = self.store
         n = self.n
-        best_b = np.zeros((n + 1, 2), np.int32)
-        best_row = np.full((n + 1, 2), -1, np.int64)
+        gate = self._gate()
+
+        # containment: best container by score
         contained_in = np.zeros(n + 1, np.int32)
         contain_row = np.full(n + 1, -1, np.int64)
-        contain_score = np.full(n + 1, -1.0)
-
-        # contained reads: best container by score
-        rows_c = np.flatnonzero(self.a_contained)
-        for r in rows_c:
-            a = st.a_id[r]
-            if self.score[r] > contain_score[a]:
-                contain_score[a] = self.score[r]
-                contained_in[a] = st.b_id[r]
-                contain_row[a] = r
+        rows_c = np.flatnonzero(self.geo_a_contained & gate)
+        if len(rows_c):
+            pick = _last_per_key(st.a_id[rows_c], self.raw_score[rows_c])
+            rr = rows_c[pick]
+            contained_in[st.a_id[rr]] = st.b_id[rr]
+            contain_row[st.a_id[rr]] = rr
         self.is_contained = contained_in > 0
-        # a contained read never offers dovetail edges, and edges must not
-        # point INTO contained reads (reference: best edges skip contains)
-        tgt_contained = self.is_contained[st.b_id]
 
-        for end, mask in ((END5, self.dove5), (END3, self.dove3)):
-            rows = np.flatnonzero(mask & ~self.is_contained[st.a_id] & ~tgt_contained)
+        # dovetails: a contained read never offers dovetail edges; edges
+        # must not point INTO contained reads, spurs, or singletons
+        # (scoreEdge skips them, AS_BAT_BestOverlapGraph.C:388-395)
+        bad_tgt = (
+            self.is_contained[st.b_id]
+            | self.spur[st.b_id]
+            | self.singleton[st.b_id]
+        )
+        best_b = np.zeros((n + 1, 2), np.int32)
+        best_row = np.full((n + 1, 2), -1, np.int64)
+        dove_gate = gate & ~self.is_contained[st.a_id] & ~bad_tgt
+        for end, geo in ((END5, self.geo_dove5), (END3, self.geo_dove3)):
+            rows = np.flatnonzero(geo & dove_gate)
             if len(rows) == 0:
                 continue
-            sc = self.score[rows]
-            order = np.argsort(sc, kind="stable")  # ascending; last wins
-            rr = rows[order]
+            pick = _last_per_key(st.a_id[rows], self.raw_score[rows])
+            rr = rows[pick]
             best_b[st.a_id[rr], end] = st.b_id[rr]
             best_row[st.a_id[rr], end] = rr
         self.best = BestEdges(best_b, best_row, contained_in, contain_row)
+
+    # ---- filter cascade ----
+
+    def _mark_suspicious(self) -> None:
+        """A read whose good overlaps do not merge into ONE interval on
+        the read is suspicious (chimera signature), unless it is
+        contained (markSuspiciousReads, AS_BAT_BestOverlapGraph.C:60-109)."""
+        st = self.store
+        rows = np.flatnonzero(self._gate())
+        own, _, _ = covered_intervals_all(
+            st.a_id[rows], st.a_bgn[rows], st.a_end[rows], 1
+        )
+        n_iv = np.bincount(own.astype(np.int64), minlength=self.n + 1)
+        has = np.bincount(st.a_id[rows].astype(np.int64), minlength=self.n + 1) > 0
+        self.suspicious |= has & (n_iv != 1) & ~self.is_contained
+
+    def _compute_error_limit(self) -> None:
+        """errorLimit = median + deviation * 1.4826 * MAD over best-edge
+        erates (mean + deviation * stddev when the median is ~0), clamped
+        at the graph erate (removeHighErrorBestEdges,
+        AS_BAT_BestOverlapGraph.C:115-193)."""
+        rows = self.best.row[self.best.b_id > 0]
+        if len(rows) == 0:
+            return
+        er = self.store.erate[rows].astype(np.float64)
+        med = float(np.median(er))
+        if med > 1e-10:
+            mad = float(np.median(np.abs(er - med)))
+            limit = med + self.deviation * 1.4826 * mad
+        else:
+            limit = float(er.mean()) + self.deviation * float(er.std())
+        self.error_limit = min(limit, self.max_erate)
+
+    def _mark_spurs(self) -> None:
+        """Spur = uncontained read with a best edge off exactly one end;
+        singleton = off neither (AS_BAT_BestOverlapGraph.C:306-358)."""
+        has5 = self.best.b_id[:, END5] != 0
+        has3 = self.best.b_id[:, END3] != 0
+        per = self.store.n_overlaps_per_read()
+        has_ovl = np.concatenate([[False], per > 0])
+        live = has_ovl & ~self.is_contained & ~self.suspicious
+        self.spur = live & (has5 != has3)
+        self.singleton = live & ~has5 & ~has3
+
+    def entry_end_rows(self, rows: np.ndarray, a_end: int) -> np.ndarray:
+        """Vectorized entry_end: which end of B the edge enters."""
+        ep = END5 if a_end == END3 else END3
+        fl = self.store.flipped[rows]
+        return np.where(fl, 1 - ep, ep).astype(np.int64)
+
+    def _mark_lopsided(self) -> None:
+        """Non-mutual best edges whose partner's best-overlap length
+        differs > 5% mark the read suspicious (removeLopsidedEdges,
+        AS_BAT_BestOverlapGraph.C:196-305)."""
+        b5 = self.best.b_id[:, END5]
+        b3 = self.best.b_id[:, END3]
+        fi = np.flatnonzero(
+            ~self.suspicious & ~self.is_contained & (b5 != 0) & (b3 != 0)
+        )
+        if len(fi) == 0:
+            return
+        sus = np.zeros(len(fi), bool)
+        mutual = np.ones(len(fi), bool)
+        diffs = []
+        for end in (END5, END3):
+            row = self.best.row[fi, end]
+            partner = self.best.b_id[fi, end]
+            entry = self.entry_end_rows(row, end)
+            back_id = self.best.b_id[partner, entry]
+            back_row = self.best.row[partner, entry]
+            mutual &= back_id == fi
+            partner_dead = back_id == 0
+            sus |= partner_dead  # edge to something with no edge out
+            this_len = self.span_a[row].astype(np.float64)
+            that_len = np.where(
+                partner_dead, this_len, self.span_a[np.maximum(back_row, 0)]
+            ).astype(np.float64)
+            diffs.append(
+                200.0 * np.abs(this_len - that_len)
+                / np.maximum(this_len + that_len, 1.0)
+            )
+        lop = ~mutual & ((diffs[0] > 5.0) | (diffs[1] > 5.0))
+        self.suspicious[fi[sus | lop]] = True
 
     # which end of B does an edge (store row) enter?  Off A's `end`, the
     # alignment touches B' at the opposite side; in forward-B terms the
@@ -155,6 +297,106 @@ def _mutual(bog: BestOverlapGraph, a: int, a_end: int) -> Optional[tuple[int, in
     return b, b_entry, row
 
 
+def _place_rows(
+    store: OverlapStore,
+    r: np.ndarray,  # read ids to place (a side of row)
+    row: np.ndarray,  # store rows placing r against a placed b
+    read_lengths: np.ndarray,
+    tig_of_read: np.ndarray,
+    lo_of: np.ndarray,
+    hi_of: np.ndarray,
+    rev_of: np.ndarray,
+) -> None:
+    """Write placements of reads r via overlap rows to already-placed
+    partners (hang extrapolation; handles containment and dovetail)."""
+    st = store
+    c = st.b_id[row]
+    a_bgn = st.a_bgn[row].astype(np.int64)
+    b_bgn = st.b_bgn[row].astype(np.int64)
+    b_end = st.b_end[row].astype(np.int64)
+    fl = st.flipped[row]
+    len_a = read_lengths[r - 1].astype(np.int64)
+    # B-forward coordinate of A base 0, stepping -1 per A base if flipped
+    y0 = np.where(fl, b_end + a_bgn, b_bgn - a_bgn)
+    y1 = np.where(fl, y0 - len_a, y0 + len_a)
+    c_lo, c_hi, c_rev = lo_of[c], hi_of[c], rev_of[c]
+
+    def T(y):
+        return np.where(c_rev, c_hi - y, c_lo + y)
+
+    p0, p1 = T(y0), T(y1)
+    tig_of_read[r] = tig_of_read[c]
+    lo_of[r] = np.minimum(p0, p1)
+    hi_of[r] = np.maximum(p0, p1)
+    rev_of[r] = c_rev ^ fl
+
+
+def place_contained(
+    bog: BestOverlapGraph,
+    store: OverlapStore,
+    read_lengths: np.ndarray,
+    tig_of_read: np.ndarray,  # int32 [n+1], mutated
+    lo_of: np.ndarray,
+    hi_of: np.ndarray,
+    rev_of: np.ndarray,
+) -> np.ndarray:
+    """Resolve the containment forest level-by-level (placeContains).
+
+    Containers may themselves be contained; each pass places every read
+    whose container is already placed, so the loop count is the maximum
+    containment DEPTH (log-ish), not the read count.  Returns the ids
+    placed (their placement is written into the arrays)."""
+    placed_ids = []
+    cand = np.flatnonzero(bog.is_contained) if bog.n else np.zeros(0, np.int64)
+    cand = cand[tig_of_read[cand] == 0]
+    while len(cand):
+        container = bog.best.contained_in[cand]
+        ready = tig_of_read[container] > 0
+        if not ready.any():
+            break
+        r = cand[ready]
+        _place_rows(store, r, bog.best.contain_row[r], read_lengths,
+                    tig_of_read, lo_of, hi_of, rev_of)
+        placed_ids.append(r)
+        cand = cand[~ready]
+    return np.concatenate(placed_ids) if placed_ids else np.zeros(0, np.int64)
+
+
+def place_unplaced(
+    bog: BestOverlapGraph,
+    store: OverlapStore,
+    read_lengths: np.ndarray,
+    tig_of_read: np.ndarray,
+    lo_of: np.ndarray,
+    hi_of: np.ndarray,
+    rev_of: np.ndarray,
+    max_levels: int = 8,
+) -> np.ndarray:
+    """placeUnplaced (bogart placeContains companion): put every read
+    that still has no tig into the tig of its best-scoring gate-passing
+    overlap partner.  This is how spur/suspicious reads — barred from
+    DRIVING walks — still end up as placed members, preserving genome
+    fraction at tig ends (reference bogart.C:442-459)."""
+    st = store
+    gate = bog.base_ok
+    placed_ids = []
+    for _ in range(max_levels):
+        rows = np.flatnonzero(
+            gate
+            & (tig_of_read[st.a_id] == 0)
+            & (tig_of_read[st.b_id] > 0)
+        )
+        if len(rows) == 0:
+            break
+        pick = _last_per_key(st.a_id[rows], bog.raw_score[rows])
+        rr = rows[pick]
+        r = st.a_id[rr].astype(np.int64)
+        _place_rows(store, r, rr, read_lengths,
+                    tig_of_read, lo_of, hi_of, rev_of)
+        placed_ids.append(r)
+    return np.concatenate(placed_ids) if placed_ids else np.zeros(0, np.int64)
+
+
 def build_unitigs(
     store: OverlapStore,
     read_lengths: np.ndarray,
@@ -162,16 +404,23 @@ def build_unitigs(
     end_slop: int = 100,
     min_span: int = 500,
     min_reads_per_contig: int = 2,
+    deviation: float = 6.0,
+    drop_dead_ends: bool = True,
 ) -> TigStore:
     """Greedy mutual-best unitigs + contained placement + singletons."""
-    bog = BestOverlapGraph(store, read_lengths, max_erate, end_slop, min_span)
+    bog = BestOverlapGraph(store, read_lengths, max_erate, end_slop, min_span,
+                           deviation=deviation)
     n = store.n_reads
     visited = np.zeros(n + 1, bool)
     tigs = TigStore()
     tig_of_read = np.zeros(n + 1, np.int32)  # 1-based tig ids, 0 = none
+    lo_of = np.zeros(n + 1, np.int64)
+    hi_of = np.zeros(n + 1, np.int64)
+    rev_of = np.zeros(n + 1, bool)
 
     # seed longest reads first (proxy for the reference ChunkGraph's
-    # mutual-best chain-length ordering)
+    # mutual-best chain-length ordering); suspicious reads neither seed
+    # nor extend walks
     seed_order = np.argsort(-read_lengths, kind="stable") + 1
 
     def step(cur: int, cur_rev: bool, lo: int, hi: int, direction: int):
@@ -191,8 +440,8 @@ def build_unitigs(
         st = store
         len_b = int(read_lengths[b - 1])
         flipped = bool(st.flipped[row])
-        a_bgn, a_end = int(st.a_bgn[row]), int(st.a_end[row])
-        bp_bgn, bp_end = int(bog.bp_bgn[row]), int(bog.bp_end[row])
+        a_bgn = int(st.a_bgn[row])
+        bp_bgn = int(bog.bp_bgn[row])
         b_rev = cur_rev ^ flipped
         if not cur_rev:
             pos0 = lo + a_bgn - bp_bgn  # tig pos of B' base 0
@@ -204,114 +453,103 @@ def build_unitigs(
         return b, b_rev, lo_b, hi_b, row
 
     next_tig_id = 1
+    walk_tigs: list[list[tuple[int, int, int, bool]]] = []
     for seed in seed_order:
         seed = int(seed)
-        if visited[seed] or bog.is_contained[seed]:
+        if (visited[seed] or bog.is_contained[seed] or bog.suspicious[seed]
+                or bog.spur[seed] or bog.singleton[seed]):
+            # spurs/singletons never drive walks (no edges point into
+            # them); placeUnplaced attaches them to finished tigs below
             continue
         placements: list[tuple[int, int, int, bool]] = []
         lo, hi = 0, int(read_lengths[seed - 1])
         placements.append((seed, lo, hi, False))
         visited[seed] = True
-        # rightwards
-        cur, cur_rev, clo, chi = seed, False, lo, hi
-        while True:
-            nxt = step(cur, cur_rev, clo, chi, +1)
-            if nxt is None:
-                break
-            b, b_rev, lo_b, hi_b, _ = nxt
-            if visited[b]:
-                break
-            placements.append((b, lo_b, hi_b, b_rev))
-            visited[b] = True
-            cur, cur_rev, clo, chi = b, b_rev, lo_b, hi_b
-        # leftwards from the seed
-        cur, cur_rev, clo, chi = seed, False, lo, hi
-        while True:
-            nxt = step(cur, cur_rev, clo, chi, -1)
-            if nxt is None:
-                break
-            b, b_rev, lo_b, hi_b, _ = nxt
-            if visited[b]:
-                break
-            placements.append((b, lo_b, hi_b, b_rev))
-            visited[b] = True
-            cur, cur_rev, clo, chi = b, b_rev, lo_b, hi_b
+        for direction in (+1, -1):
+            cur, cur_rev, clo, chi = seed, False, lo, hi
+            while True:
+                nxt = step(cur, cur_rev, clo, chi, direction)
+                if nxt is None:
+                    break
+                b, b_rev, lo_b, hi_b, _ = nxt
+                if visited[b]:
+                    break
+                placements.append((b, lo_b, hi_b, b_rev))
+                visited[b] = True
+                cur, cur_rev, clo, chi = b, b_rev, lo_b, hi_b
+        walk_tigs.append(placements)
 
+    # dropDeadEnds (bogart.C:540-560 role): spur reads can only sit at a
+    # tig tip (no edges point into a spur); strip them back to singletons
+    for placements in walk_tigs:
+        if drop_dead_ends and len(placements) > 2:
+            placements.sort(key=lambda p: p[1])
+            while len(placements) > 2 and bog.spur[placements[0][0]]:
+                visited[placements[0][0]] = False
+                placements.pop(0)
+            while len(placements) > 2 and bog.spur[placements[-1][0]]:
+                visited[placements[-1][0]] = False
+                placements.pop()
         rid = np.array([p[0] for p in placements], np.int32)
-        bgn = np.array([p[1] for p in placements], np.int32)
-        end = np.array([p[2] for p in placements], np.int32)
+        bgn = np.array([p[1] for p in placements], np.int64)
+        end = np.array([p[2] for p in placements], np.int64)
         rev = np.array([p[3] for p in placements], bool)
         shift = bgn.min()
         bgn -= shift
         end -= shift
         order = np.argsort(bgn, kind="stable")
-        tig = Tig(next_tig_id, rid[order], bgn[order], end[order], rev[order])
+        tig = Tig(next_tig_id, rid[order], bgn[order].astype(np.int32),
+                  end[order].astype(np.int32), rev[order])
         tigs.add(tig)
         tig_of_read[rid] = next_tig_id
+        lo_of[rid] = bgn
+        hi_of[rid] = end
+        rev_of[rid] = rev
         next_tig_id += 1
 
-    # place contained reads into their container's tig (placeContains);
-    # containers may themselves be contained, so iterate until settled,
-    # resolving placements from a read->placement map (not tig arrays,
-    # which are only rebuilt at the end)
-    placement_of: dict[int, tuple[int, int, int, bool]] = {}  # read -> (tig, lo, hi, rev)
-    for tig in tigs:
-        for i in range(tig.n_reads):
-            placement_of[int(tig.read_id[i])] = (
-                tig.tig_id, int(tig.bgn[i]), int(tig.end[i]), bool(tig.rev[i])
+    # place contained reads (placeContains, level-parallel over the
+    # containment forest), then remaining reads by their best overlap to
+    # a placed read (placeUnplaced); alternate until settled
+    placed_all = []
+    for _ in range(4):
+        p1 = place_contained(bog, store, read_lengths,
+                             tig_of_read, lo_of, hi_of, rev_of)
+        p2 = place_unplaced(bog, store, read_lengths,
+                            tig_of_read, lo_of, hi_of, rev_of)
+        placed_all += [p1, p2]
+        if len(p1) == 0 and len(p2) == 0:
+            break
+    placed = np.concatenate(placed_all) if placed_all else np.zeros(0, np.int64)
+    if len(placed):
+        visited[placed] = True
+        by_tig: dict[int, list[int]] = {}
+        for r in placed:
+            by_tig.setdefault(int(tig_of_read[r]), []).append(int(r))
+        for t, extras in by_tig.items():
+            tig = tigs[t - 1]
+            er = np.array(extras, np.int32)
+            rid = np.concatenate([tig.read_id, er])
+            bgn = np.concatenate([tig.bgn.astype(np.int64), lo_of[er]])
+            end = np.concatenate([tig.end.astype(np.int64), hi_of[er]])
+            rev = np.concatenate([tig.rev, rev_of[er]])
+            shift = bgn.min()
+            order = np.argsort(bgn, kind="stable")
+            tigs.tigs[t - 1] = Tig(
+                tig.tig_id, rid[order],
+                (bgn - shift)[order].astype(np.int32),
+                (end - shift)[order].astype(np.int32), rev[order],
             )
-    placed_extra: dict[int, list[tuple[int, int, int, bool]]] = {}
-    progressed = True
-    while progressed:
-        progressed = False
-        for r in range(1, n + 1):
-            if not bog.is_contained[r] or visited[r]:
-                continue
-            container = int(bog.best.contained_in[r])
-            if container not in placement_of:
-                continue
-            t, c_lo, c_hi, c_rev = placement_of[container]
-            row = int(bog.best.contain_row[r])
-            # row has a_id == r contained in b_id == container
-            st = store
-            flipped = bool(st.flipped[row])
-            # container-forward span of the alignment
-            b_bgn, b_end = int(st.b_bgn[row]), int(st.b_end[row])
-            if not c_rev:
-                lo_r = c_lo + b_bgn
-                hi_r = c_lo + b_end
-            else:
-                lo_r = c_hi - b_end
-                hi_r = c_hi - b_bgn
-            r_rev = c_rev ^ flipped
-            placed_extra.setdefault(t, []).append((r, lo_r, hi_r, r_rev))
-            placement_of[r] = (t, lo_r, hi_r, r_rev)
-            visited[r] = True
-            tig_of_read[r] = t
-            progressed = True
-    for t, extras in placed_extra.items():
-        tig = tigs[t - 1]
-        rid = np.concatenate([tig.read_id, np.array([e[0] for e in extras], np.int32)])
-        bgn = np.concatenate([tig.bgn, np.array([e[1] for e in extras], np.int32)])
-        end = np.concatenate([tig.end, np.array([e[2] for e in extras], np.int32)])
-        rev = np.concatenate([tig.rev, np.array([e[3] for e in extras], bool)])
-        shift = bgn.min()
-        order = np.argsort(bgn, kind="stable")
-        tigs.tigs[t - 1] = Tig(tig.tig_id, rid[order], (bgn - shift)[order], (end - shift)[order], rev[order])
 
-    # leftovers -> singleton unassembled tigs
-    for r in range(1, n + 1):
-        if visited[r]:
-            continue
-        tig = Tig(
+    # leftovers -> singleton unassembled tigs (promoteToSingleton)
+    for r in np.flatnonzero(~visited[1:]) + 1:
+        tigs.add(Tig(
             next_tig_id,
             np.array([r], np.int32),
             np.array([0], np.int32),
             np.array([read_lengths[r - 1]], np.int32),
             np.array([False]),
             tig_class=CLASS_UNASSEMBLED,
-        )
-        tigs.add(tig)
+        ))
         next_tig_id += 1
 
     # classify: contigs need min_reads_per_contig

@@ -68,7 +68,7 @@ def polish_tig(
     coordinates; plurality calls fall back to the backbone base where
     coverage < min_cov.
     """
-    from .falcon import _pow2_at_least
+    from .votepile import _pow2_at_least
     from .voting import VoteArrays, plurality_call, run_alignment_batches
 
     B_len = len(backbone)

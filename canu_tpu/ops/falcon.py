@@ -7,15 +7,21 @@ filterCorrectionLayouts (which reads to correct: longest first up to
 corOutCoverage x genomeSize, /root/reference/src/correction/
 filterCorrectionLayouts.C:49-120), and falconsense itself (alignTag
 weighted plurality voting, /root/reference/src/correction/
-falconConsensus-alignTag.C) — on the TPU alignment-positions kernel and
-the shared voting machinery (canu_tpu.ops.voting):
+falconConsensus-alignTag.C) — on the device vote-pile engine
+(canu_tpu.ops.votepile):
 
-  * evidence alignments are batched banded fwd+bwd DPs giving the
-    evidence coordinate at every template position (no tracebacks);
-  * votes accumulate via vectorized np.add.at;
+  * evidence selection is one columnar pass over the whole overlap
+    store (lexsort by (template, -score), segmented coverage budget);
+  * evidence windows are aligned and voted ENTIRELY on device; per
+    template column exactly one packed decision byte returns to host;
   * the corrected read is the plurality call over positions with
     coverage >= min_cov, split into pieces at low-coverage gaps exactly
     like falcon-sense splits uncorrectable regions.
+
+The reference runs this as memory-modelled grid job arrays over read
+ranges (/root/reference/src/pipelines/canu/CorrectReads.pm:122-180,
+falconsense.C:301 OpenMP over reads); here the array axis is the
+template-block slot dimension of the vote accumulator.
 """
 
 from __future__ import annotations
@@ -27,7 +33,14 @@ import numpy as np
 from ..stores.overlaps import OverlapStore
 from ..stores.readset import ReadSet
 from ..utils import bitpack
-from .voting import VoteArrays, plurality_call, run_alignment_batches
+from .votepile import (
+    VoteJobs,
+    _finalize_plurality,
+    block_geometry,
+    decode_pieces,
+    device_words,
+    pile_votes,
+)
 
 
 def select_templates(
@@ -42,55 +55,121 @@ def select_templates(
     return ids.astype(np.int32)
 
 
-def select_evidence(
+def select_evidence_rows(
     st: OverlapStore,
-    template_id: int,
-    t_len: int,
+    template_ids: np.ndarray,
+    lengths: np.ndarray,
     max_evidence_coverage: int,
     min_evidence_length: int,
+) -> np.ndarray:
+    """Store row indices of the evidence kept per template: best-scoring
+    overlaps first until the per-template coverage budget
+    (filterCorrectionOverlaps / corMaxEvidenceCoverage semantics), as one
+    columnar pass over the whole store."""
+    is_tpl = np.zeros(st.n_reads + 2, bool)
+    is_tpl[template_ids] = True
+    rows = np.flatnonzero(is_tpl[st.a_id])
+    if len(rows) == 0:
+        return rows
+    span = (st.a_end[rows] - st.a_bgn[rows]).astype(np.int64)
+    ok = span >= max(100, min_evidence_length, 1)
+    rows, span = rows[ok], span[ok]
+    a = st.a_id[rows]
+    score = span * (1.0 - st.erate_q[rows].astype(np.float64) / 10000.0)
+    order = np.lexsort((-score, a))
+    rows, span, a = rows[order], span[order], a[order]
+    # segmented prefix sums: acc_prev = evidence bases already accepted
+    # for this template before this row
+    new_seg = np.concatenate([[True], a[1:] != a[:-1]])
+    cs = np.cumsum(span)
+    seg_off = np.maximum.accumulate(np.where(new_seg, cs - span, 0))
+    acc_prev = (cs - span) - seg_off
+    budget = max_evidence_coverage * lengths[a - 1].astype(np.int64)
+    return rows[acc_prev < budget]
+
+
+def evidence_vote_jobs(
+    st: OverlapStore, rows: np.ndarray, lengths: np.ndarray
+) -> VoteJobs:
+    """Store rows -> columnar device vote jobs (oriented evidence coords)."""
+    tid = st.a_id[rows]
+    b_id = st.b_id[rows]
+    fl = st.flipped[rows]
+    t_bgn = st.a_bgn[rows].astype(np.int32)
+    t_span = (st.a_end[rows] - st.a_bgn[rows]).astype(np.int32)
+    lb = lengths[b_id - 1].astype(np.int32)
+    e_lo = np.where(fl, lb - st.b_end[rows], st.b_bgn[rows]).astype(np.int32)
+    e_span = (st.b_end[rows] - st.b_bgn[rows]).astype(np.int32)
+    keep = (e_span > 0) & (t_span > 0)
+    return VoteJobs(
+        t_idx=(tid[keep] - 1).astype(np.int32),
+        e_idx=(b_id[keep] - 1).astype(np.int32),
+        t_bgn=t_bgn[keep],
+        t_span=t_span[keep],
+        e_lo=e_lo[keep],
+        e_span=e_span[keep],
+        flipped=fl[keep].astype(bool),
+        slot=np.zeros(int(keep.sum()), np.int32),  # filled per block
+    )
+
+
+def template_blocks(lengths: np.ndarray, template_ids: np.ndarray):
+    """Group templates (longest first) into device vote blocks.
+
+    Yields (tids, G, Lt); all templates in a block share the padded
+    length Lt and occupy slots 0..len(tids)-1."""
+    order = np.argsort(-lengths[template_ids - 1], kind="stable")
+    tids = template_ids[order]
+    i = 0
+    out = []
+    while i < len(tids):
+        G, Lt = block_geometry(int(lengths[tids[i] - 1]))
+        out.append((tids[i : i + G], G, Lt))
+        i += G
+    return out
+
+
+def run_vote_blocks(
+    rs: ReadSet,
+    jobs: VoteJobs,
+    template_ids: np.ndarray,
+    band: int,
+    finalize,
 ):
-    """Best-scoring overlaps up to the evidence coverage cap
-    (filterCorrectionOverlaps / corMaxEvidenceCoverage semantics)."""
-    o = st.overlaps_for(template_id)
-    span = (o["a_end"] - o["a_bgn"]).astype(np.int64)
-    keep = span >= max(1, min_evidence_length)
-    idx = np.flatnonzero(keep)
-    score = span[idx] * (1.0 - o["erate_q"][idx] / 10000.0)
-    order = idx[np.argsort(-score, kind="stable")]
-    budget = max_evidence_coverage * t_len
-    acc = np.cumsum(span[order])
-    n = int(np.searchsorted(acc, budget)) + 1
-    return {k: v[order[:n]] for k, v in o.items()}
+    """Shared block loop: group templates, pile votes per block on device,
+    finalize (a callable (words, lengths, t_idx, votes, Lt, n_live) ->
+    device array [G, Lt, ...]), yield (tids, host_result) per block."""
+    words_d, len_d = device_words(rs)
+    pad_row = rs.n_reads  # trailing all-zero row of the device planes
+    blocks = template_blocks(rs.length, template_ids)
+    slot_of = np.zeros(rs.n_reads + 1, np.int32)
+    block_of = np.full(rs.n_reads + 1, -1, np.int32)
+    for bi, (bt, G, Lt) in enumerate(blocks):
+        block_of[bt] = bi
+        slot_of[bt] = np.arange(len(bt), dtype=np.int32)
+    jb = block_of[jobs.t_idx + 1]
+    order = np.argsort(jb, kind="stable")
+    bounds = np.searchsorted(jb[order], np.arange(len(blocks) + 1))
+    import jax.numpy as jnp
 
-
-def _pow2_at_least(x: int) -> int:
-    return 1 << max(0, int(x - 1).bit_length())
-
-
-def evidence_jobs(rs: ReadSet, st: OverlapStore, template_ids, max_evidence_coverage, min_evidence_length):
-    """(template_id, t_bgn, template_sub_codes, oriented_evidence_codes)."""
-    jobs: list[tuple] = []
-    for tid in template_ids:
-        t_len = int(rs.length[tid - 1])
-        ev = select_evidence(st, int(tid), t_len, max_evidence_coverage, min_evidence_length)
-        if len(ev["a_id"]) == 0:
-            continue
-        t_codes = rs.get_codes(int(tid))
-        for r in range(len(ev["a_id"])):
-            b_id = int(ev["b_id"][r])
-            flipped = bool(ev["flipped"][r])
-            t_bgn, t_end = int(ev["a_bgn"][r]), int(ev["a_end"][r])
-            if t_end - t_bgn < 100:
-                continue
-            e_codes = rs.get_codes(b_id)
-            if flipped:
-                e_codes = bitpack.revcomp_codes(e_codes)
-                e_lo = int(rs.length[b_id - 1]) - int(ev["b_end"][r])
-                e_hi = int(rs.length[b_id - 1]) - int(ev["b_bgn"][r])
-            else:
-                e_lo, e_hi = int(ev["b_bgn"][r]), int(ev["b_end"][r])
-            jobs.append((int(tid), t_bgn, t_codes[t_bgn:t_end], e_codes[e_lo:e_hi]))
-    return jobs
+    for bi, (bt, G, Lt) in enumerate(blocks):
+        take = order[bounds[bi] : bounds[bi + 1]]
+        block_jobs = VoteJobs(
+            t_idx=jobs.t_idx[take],
+            e_idx=jobs.e_idx[take],
+            t_bgn=jobs.t_bgn[take],
+            t_span=jobs.t_span[take],
+            e_lo=jobs.e_lo[take],
+            e_span=jobs.e_span[take],
+            flipped=jobs.flipped[take],
+            slot=slot_of[jobs.t_idx[take] + 1],
+        )
+        votes = pile_votes(words_d, len_d, words_d, len_d, block_jobs, G, Lt,
+                           band=band)
+        t_idx_block = np.full(G, pad_row, np.int32)
+        t_idx_block[: len(bt)] = bt - 1
+        res = finalize(words_d, len_d, jnp.asarray(t_idx_block), votes, Lt)
+        yield bt, np.asarray(res)
 
 
 def correct_reads(
@@ -103,27 +182,34 @@ def correct_reads(
     band: int = 256,
     min_cov: int = 4,
     min_piece: int = 1000,
-    batch: int = 64,
+    batch: int = 0,  # unused (device engine sizes its own chunks)
 ) -> Iterator[tuple[str, str]]:
     """Yield (name, corrected_sequence) for selected templates."""
     template_ids = select_templates(rs, genome_size, out_coverage)
-    jobs = evidence_jobs(rs, st, template_ids, max_evidence_coverage, min_evidence_length)
-    n_rows = _pow2_at_least(max(int(rs.length.max()), 256))
+    rows = select_evidence_rows(
+        st, template_ids, rs.length, max_evidence_coverage, min_evidence_length
+    )
+    jobs = evidence_vote_jobs(st, rows, rs.length)
+    # only templates with any evidence produce output (falcon-sense skips
+    # evidence-free reads); piles for the rest would be all-unsupported
+    has_ev = np.zeros(rs.n_reads + 1, bool)
+    has_ev[jobs.t_idx + 1] = True
+    template_ids = template_ids[has_ev[template_ids]]
+    if len(template_ids) == 0:
+        return
 
-    votes_of: dict[int, VoteArrays] = {}
-    for tid, _, _, _ in jobs:
-        if tid not in votes_of:
-            votes_of[tid] = VoteArrays.zeros(int(rs.length[tid - 1]))
-    run_alignment_batches(jobs, votes_of, band, n_rows, batch)
-
-    for tid in sorted(votes_of):
-        t_codes = rs.get_codes(tid)
-        pieces, _cov = plurality_call(
-            votes_of[tid], t_codes, min_cov, keep_template_where_unsupported=False
+    def finalize(words_d, len_d, t_idx, votes, Lt):
+        packed, _cov = _finalize_plurality(
+            words_d, len_d, t_idx, votes, float(min_cov), Lt, False
         )
-        out_idx = 0
-        for seq in pieces:
-            if len(seq) < min_piece:
-                continue
-            yield f"{rs.name(tid)}_corr{out_idx}", bitpack.codes_to_seq(seq)
-            out_idx += 1
+        return packed
+
+    for bt, packed in run_vote_blocks(rs, jobs, template_ids, band, finalize):
+        for g, tid in enumerate(bt):
+            row = packed[g, : int(rs.length[tid - 1])]
+            out_idx = 0
+            for _pos, seq in decode_pieces(row):
+                if len(seq) < min_piece:
+                    continue
+                yield f"{rs.name(int(tid))}_corr{out_idx}", bitpack.codes_to_seq(seq)
+                out_idx += 1

@@ -97,6 +97,73 @@ def extract_kmers(words: jax.Array, lengths: jax.Array, k: int):
     return canon, strand
 
 
+@partial(jax.jit, static_argnames=("k",))
+def extract_kmers2(words: jax.Array, lengths: jax.Array, k: int):
+    """Canonical k-mers for 16 < k <= 32 as TWO uint32 lanes.
+
+    Returns (hi uint32[B, P], lo uint32[B, P], strand bool[B, P],
+    valid bool[B, P]); the exact 2k-bit canonical k-mer is
+    (hi << 32) | lo.  The reference meryl packs arbitrary k the same way
+    into multiple machine words (/root/reference/src/meryl/libmeryl.C);
+    on TPU two uint32 lanes keep every op on the native VPU word size.
+    """
+    assert 16 < k <= 32
+    bases = unpack_bases(words)  # [B, L]
+    B, L = bases.shape
+    P = L - k + 1
+    hi = jnp.zeros((B, P), jnp.uint32)
+    lo = jnp.zeros((B, P), jnp.uint32)
+    for j in range(k):
+        b = bases[:, j : j + P].astype(jnp.uint32)
+        hi = (hi << 2) | (lo >> 30)
+        lo = (lo << 2) | b
+    hi = hi & jnp.uint32((1 << (2 * k - 32)) - 1)
+    # reverse complement: complement, reverse all 64 bits (reverse each
+    # lane's 2-bit groups and swap lanes), then right-align to 2k bits
+    rh = reverse_2bit_groups(~lo)
+    rl = reverse_2bit_groups(~hi)
+    s = 64 - 2 * k  # 0 <= s < 32
+    if s:
+        rc_lo = (rl >> s) | (rh << (32 - s))
+        rc_hi = rh >> s
+    else:
+        rc_lo, rc_hi = rl, rh
+    rc_hi = rc_hi & jnp.uint32((1 << (2 * k - 32)) - 1)
+    fw_first = (hi < rc_hi) | ((hi == rc_hi) & (lo <= rc_lo))
+    c_hi = jnp.where(fw_first, hi, rc_hi)
+    c_lo = jnp.where(fw_first, lo, rc_lo)
+    strand = ~fw_first
+    pos = jnp.arange(P, dtype=jnp.int32)[None, :]
+    valid = pos <= (lengths[:, None] - k)
+    return c_hi, c_lo, strand, valid
+
+
+def fold2(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """Universal 32-bit key of a 2-lane k-mer (well-dispersed mix)."""
+    from .hashing import mix32
+
+    return mix32(hi.astype(jnp.uint32) ^ mix32(lo))
+
+
+def extract_kmers_any(words: jax.Array, lengths: jax.Array, k: int):
+    """Canonical k-mer KEYS (uint32) + strand for any k in 2..32.
+
+    k <= 16: exact packed canonical k-mers (extract_kmers).
+    k > 16: a 32-bit universal hash of the exact canonical k-mer (2-lane
+    packing folded with mix32).  Hash keys are exactly what the MATCHING
+    path needs (MinHash slots, syncmer seeds and anchor joins are
+    hash-based by construction; a per-pair false anchor costs ~P^2/2^32);
+    exact counting for k > 16 lives in count_readset_device's 2-lane
+    sort path.  INVALID_KMER marks off-read windows in both cases.
+    """
+    if k <= 16:
+        return extract_kmers(words, lengths, k)
+    hi, lo, strand, valid = extract_kmers2(words, lengths, k)
+    key = fold2(hi, lo)
+    key = jnp.where(key == INVALID_KMER, key ^ jnp.uint32(1), key)
+    return jnp.where(valid, key, INVALID_KMER), strand
+
+
 @jax.jit
 def sort_count(kmers_flat: jax.Array):
     """Sort a flat uint32 k-mer array and run-length count it (fixed shape).
@@ -217,15 +284,83 @@ class DeviceKmerCounts:
         return KmerCounts(self.k, kmers[keep], counts[keep].astype(np.int64))
 
 
+@jax.jit
+def sort_count2(hi_flat: jax.Array, lo_flat: jax.Array):
+    """2-lane (k > 16) sort + run-length count; INVALID_KMER in BOTH
+    lanes marks padding (sorts last since hi is the primary key)."""
+    hs, ls = jax.lax.sort((hi_flat, lo_flat), dimension=0, num_keys=2)
+    n = hs.shape[0]
+    is_start = jnp.concatenate(
+        [jnp.ones(1, bool), (hs[1:] != hs[:-1]) | (ls[1:] != ls[:-1])]
+    )
+    run_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    per_run = jax.ops.segment_sum(jnp.ones(n, jnp.int32), run_id, num_segments=n)
+    live = (hs != INVALID_KMER) | (ls != INVALID_KMER)
+    counts = jnp.where(is_start & live, per_run[run_id], 0)
+    return hs, ls, counts
+
+
+class DeviceKmerCounts2:
+    """2-lane (k > 16) device k-mer counts; API-compatible subset of
+    DeviceKmerCounts.  Exact counting — only the matching path uses
+    folded 32-bit keys."""
+
+    def __init__(self, k: int, hi: jax.Array, lo: jax.Array, counts: jax.Array):
+        self.k = k
+        self.hi = hi
+        self.lo = lo
+        self.counts = counts
+
+    def histogram(self, max_count: int = 65535) -> np.ndarray:
+        return np.asarray(histogram_device(self.counts, max_count))
+
+    def n_distinct(self) -> int:
+        return int(jnp.sum(self.counts > 0))
+
+    def n_total(self) -> int:
+        return int(jnp.sum(self.counts))
+
+    def frequent(self, threshold: int, max_out: int = 1 << 20) -> "FrequentKmers":
+        mask = np.asarray(self.counts > threshold)
+        hi = np.asarray(self.hi)[mask].astype(np.uint64)
+        lo = np.asarray(self.lo)[mask].astype(np.uint64)
+        ct = np.asarray(self.counts)[mask]
+        exact = (hi << np.uint64(32)) | lo
+        folded = np.asarray(fold2(jnp.asarray(hi.astype(np.uint32)),
+                                  jnp.asarray(lo.astype(np.uint32))))
+        folded = np.where(folded == INVALID_KMER, folded ^ np.uint32(1), folded)
+        order = np.argsort(folded, kind="stable")
+        total = self.n_total()
+        return FrequentKmers(
+            k=self.k,
+            kmers=folded[order],
+            fraction=(ct[order] / max(1, total)).astype(np.float32),
+            threshold=int(threshold),
+            total_kmers=total,
+            kmers_exact=exact[order],
+        )
+
+    def to_host(self) -> "KmerCounts":
+        counts = np.asarray(self.counts)
+        keep = counts > 0
+        hi = np.asarray(self.hi)[keep].astype(np.uint64)
+        lo = np.asarray(self.lo)[keep].astype(np.uint64)
+        return KmerCounts(self.k, (hi << np.uint64(32)) | lo,
+                          counts[keep].astype(np.int64))
+
+
 def count_readset_device(
     readset: ReadSet, k: int = 16, block_size: int = 512
-) -> DeviceKmerCounts:
+):
     """Count canonical k-mers of a whole ReadSet with one device sort.
 
     All per-block k-mer arrays are kept on device and concatenated
     (padded to a power-of-two total so the sort compiles O(1) times per
-    process); nothing large crosses back to host.
+    process); nothing large crosses back to host.  k <= 16 counts one
+    uint32 lane; 16 < k <= 32 counts exact 2-lane k-mers (the reference
+    ovl/utg stages default to k=22, Defaults.pm ovlMerSize).
     """
+    two = k > 16
     parts = []
     for ids, W in length_bucketed_blocks(readset, block_size):
         words, lengths = readset.block_words(ids, W)
@@ -233,8 +368,31 @@ def count_readset_device(
             pad = block_size - len(ids)
             words = np.vstack([words, np.zeros((pad, W), np.uint32)])
             lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
-        canon, _ = extract_kmers(jnp.asarray(words), jnp.asarray(lengths), k)
-        parts.append(canon.reshape(-1))
+        if two:
+            hi, lo, _, valid = extract_kmers2(
+                jnp.asarray(words), jnp.asarray(lengths), k
+            )
+            hi = jnp.where(valid, hi, INVALID_KMER)
+            lo = jnp.where(valid, lo, INVALID_KMER)
+            parts.append((hi.reshape(-1), lo.reshape(-1)))
+        else:
+            canon, _ = extract_kmers(jnp.asarray(words), jnp.asarray(lengths), k)
+            parts.append(canon.reshape(-1))
+    if two:
+        if not parts:
+            e = jnp.full((1,), INVALID_KMER, jnp.uint32)
+            hs, ls, c = sort_count2(e, e)
+            return DeviceKmerCounts2(k, hs, ls, c)
+        hi = jnp.concatenate([p[0] for p in parts])
+        lo = jnp.concatenate([p[1] for p in parts])
+        n = hi.shape[0]
+        n_pad = _pow2_at_least(n)
+        if n_pad != n:
+            fill = jnp.full((n_pad - n,), INVALID_KMER, jnp.uint32)
+            hi = jnp.concatenate([hi, fill])
+            lo = jnp.concatenate([lo, fill])
+        hs, ls, c = sort_count2(hi, lo)
+        return DeviceKmerCounts2(k, hs, ls, c)
     if not parts:
         empty = jnp.full((1,), INVALID_KMER, jnp.uint32)
         s, c = sort_count(empty)
@@ -410,7 +568,7 @@ def threshold_from_distinct_fraction(kc, fraction: float) -> int:
     set is "every k-mer more frequent than the distinct-fraction cutoff".
     Accepts KmerCounts or DeviceKmerCounts.
     """
-    if isinstance(kc, DeviceKmerCounts):
+    if isinstance(kc, (DeviceKmerCounts, DeviceKmerCounts2)):
         hist = kc.histogram()
         nd = int(hist[1:].sum())
     else:
@@ -432,7 +590,7 @@ def estimate_coverage_threshold(kc, multiplier: float = 4.0) -> int:
     /root/reference/src/meryl/estimate-mer-threshold.C:43-67,284-290
     (which scans for the histogram break after guessing X coverage).
     """
-    hist = kc.histogram(100_000) if isinstance(kc, DeviceKmerCounts) else kc.histogram(max_count=100_000)
+    hist = (kc.histogram(100_000) if isinstance(kc, (DeviceKmerCounts, DeviceKmerCounts2)) else kc.histogram(max_count=100_000))
     if len(hist) < 4:
         return max(2, len(hist))
     h = hist[1:]  # h[i] = #distinct with count i+1
@@ -456,10 +614,12 @@ class FrequentKmers:
     """
 
     k: int
-    kmers: np.ndarray  # uint32, sorted
+    kmers: np.ndarray  # uint32, sorted (k > 16: folded 32-bit keys)
     fraction: np.ndarray  # float32 — count / total k-mers
     threshold: int
     total_kmers: int
+    # k > 16 only: the exact 2k-bit k-mers (uint64), aligned with kmers
+    kmers_exact: Optional[np.ndarray] = None
 
     @property
     def n(self) -> int:
@@ -470,13 +630,26 @@ def frequent_kmers(kc, threshold: Optional[int] = None, distinct_fraction: float
     """Frequent-mer table from KmerCounts or DeviceKmerCounts."""
     if threshold is None:
         threshold = threshold_from_distinct_fraction(kc, distinct_fraction)
-    if isinstance(kc, DeviceKmerCounts):
+    if isinstance(kc, (DeviceKmerCounts, DeviceKmerCounts2)):
         return kc.frequent(int(threshold))
     mask = kc.counts > threshold
+    frac = (kc.counts[mask] / max(1, kc.n_total)).astype(np.float32)
+    if kc.k > 16:
+        exact = kc.unique[mask].astype(np.uint64)
+        hi = (exact >> np.uint64(32)).astype(np.uint32)
+        lo = exact.astype(np.uint32)
+        folded = np.asarray(fold2(jnp.asarray(hi), jnp.asarray(lo)))
+        folded = np.where(folded == INVALID_KMER, folded ^ np.uint32(1), folded)
+        order = np.argsort(folded, kind="stable")
+        return FrequentKmers(
+            k=kc.k, kmers=folded[order], fraction=frac[order],
+            threshold=int(threshold), total_kmers=kc.n_total,
+            kmers_exact=exact[order],
+        )
     return FrequentKmers(
         k=kc.k,
         kmers=kc.unique[mask],
-        fraction=(kc.counts[mask] / max(1, kc.n_total)).astype(np.float32),
+        fraction=frac,
         threshold=int(threshold),
         total_kmers=kc.n_total,
     )

@@ -33,7 +33,7 @@ import numpy as np
 from ..stores.readset import ReadSet
 from ..utils.bitpack import n_words
 from .hashing import hash_seeds, mix32
-from .kmer import INVALID_KMER, FrequentKmers, extract_kmers, length_bucketed_blocks
+from .kmer import INVALID_KMER, FrequentKmers, extract_kmers_any, length_bucketed_blocks
 
 UINT32_MAX = np.uint32(0xFFFFFFFF)
 
@@ -58,7 +58,7 @@ def _sketch_kernel(words, lengths, seeds, fk_kmers, k: int):
     fk_kmers uint32[F] sorted frequent k-mers (F may be 0).
     Returns uint32[B, H] min-hash values (UINT32_MAX for empty reads).
     """
-    canon, _ = extract_kmers(words, lengths, k)  # [B, P]
+    canon, _ = extract_kmers_any(words, lengths, k)  # [B, P]
     valid = canon != INVALID_KMER
     if fk_kmers.shape[0] > 0:
         idx = jax.vmap(lambda v: jnp.searchsorted(fk_kmers, v))(canon)
@@ -208,8 +208,8 @@ def _pair_stats_kernel(wordsA, lenA, wordsB, lenB, seeds0, fk_kmers, k: int):
     """
     from .kmerjoin import masked_median, pair_matches
 
-    canonA, strandA = extract_kmers(wordsA, lenA, k)  # [C, P]
-    canonB, strandB = extract_kmers(wordsB, lenB, k)
+    canonA, strandA = extract_kmers_any(wordsA, lenA, k)  # [C, P]
+    canonB, strandB = extract_kmers_any(wordsB, lenB, k)
     P = canonA.shape[1]
     validA = canonA != INVALID_KMER
     validB = canonB != INVALID_KMER

@@ -47,12 +47,24 @@ import numpy as np
 from ..stores.readset import ReadSet
 from ..utils.bitpack import n_words
 from .hashing import mix32
-from .kmer import INVALID_KMER, extract_kmers, length_bucketed_blocks
+from .kmer import INVALID_KMER, extract_kmers, extract_kmers_any, length_bucketed_blocks
 
 UINT32_MAX = jnp.uint32(0xFFFFFFFF)
 # k-mer window over s-mers: s = k - SYNC_DELTA, density 1/(SYNC_DELTA+1).
 # SYNC_DELTA must be even so the middle offset is strand-symmetric.
 SYNC_DELTA = 4
+
+
+def syncmer_params(k: int) -> tuple[int, int]:
+    """(s, t): s-mer size and middle offset for open-syncmer selection.
+
+    s must fit one uint32 lane (<= 16) and k - s must be even so the
+    middle offset maps to itself under reverse complement."""
+    if k <= 16 + SYNC_DELTA:
+        s = k - SYNC_DELTA
+    else:
+        s = 16 if (k % 2 == 0) else 15
+    return s, (k - s) // 2
 
 
 def _shift_left(x: jax.Array, s: int, fill) -> jax.Array:
@@ -79,16 +91,15 @@ def _syncmer_kernel(words, lengths, k: int, pm: int):
     (mker uint32[B, pm], mpos int32[B, pm], mstr int32[B, pm],
      n_sel int32[B]); empty slots have mker == INVALID_KMER.
     """
-    s = k - SYNC_DELTA
-    t = SYNC_DELTA // 2
+    s, t = syncmer_params(k)
     assert s >= 2, "k too small for syncmer selection"
-    canon, strand = extract_kmers(words, lengths, k)  # [B, Pk]
+    canon, strand = extract_kmers_any(words, lengths, k)  # [B, Pk]
     valid = canon != INVALID_KMER
     Pk = canon.shape[1]
 
-    scanon, _ = extract_kmers(words, lengths, s)  # [B, Ps], Ps = Pk + DELTA
+    scanon, _ = extract_kmers(words, lengths, s)  # [B, Ps], Ps = Pk + (k-s)
     hs = jnp.where(scanon != INVALID_KMER, mix32(scanon), UINT32_MAX)
-    wm = _window_min_fwd(hs, SYNC_DELTA + 1)  # min s-hash inside k-mer at p
+    wm = _window_min_fwd(hs, k - s + 1)  # min s-hash inside k-mer at p
     hs_t = _shift_left(hs, t, UINT32_MAX) if t else hs
     sel = (hs_t[:, :Pk] == wm[:, :Pk]) & valid
 

@@ -13,12 +13,16 @@ Re-implements the reference's assembly-phase error adjustment:
     become the overlap store's `evalues` sidecar
     (OverlapErrorAdjustment.pm:632 updateOverlapStore).
 
-TPU shape: RED reuses the correction voting machinery (batched fwd+bwd
-banded DPs + vectorized vote accumulation); corrections are
+TPU shape: RED runs on the device vote-pile engine (ops.votepile —
+batched fwd+bwd banded DPs, on-device vote accumulation + decision, one
+packed byte per read position back to host); corrections are
 SUBSTITUTION-only (indels were already handled by falcon correction
 upstream; the reference's indel votes mostly fire on raw reads).  OEA
-then rebuilds the corrected reads, re-verifies every overlap with the
-Myers kernel in one batch, and returns the new fixed-point erates.
+then rebuilds the corrected reads (bit surgery on the packed words, no
+repack), re-verifies every overlap with the Myers kernel in one batch,
+and installs the recomputed erates — matching the reference's
+"recompute, don't just lower" semantics, with a span guard so a
+re-verification that banded badly (span collapse) cannot corrupt a row.
 
 The payoff matches the reference's: adjusted erates approximate TRUE
 sequence divergence (net of correctable sequencing error), which lets
@@ -31,8 +35,8 @@ import numpy as np
 
 from ..stores.overlaps import OverlapStore
 from ..stores.readset import ReadSet
-from .falcon import evidence_jobs, _pow2_at_least
-from .voting import VoteArrays, run_alignment_batches
+from .falcon import evidence_vote_jobs, run_vote_blocks, select_evidence_rows
+from .votepile import _finalize_red
 
 
 def detect_read_errors(
@@ -42,7 +46,7 @@ def detect_read_errors(
     min_alt_votes: int = 4,
     max_own_votes: int = 1,
     band: int = 256,
-    batch: int = 64,
+    batch: int = 0,  # unused (device engine sizes its own chunks)
 ) -> dict[int, np.ndarray]:
     """RED: per-read substitution corrections from overlap-pile votes.
 
@@ -51,51 +55,65 @@ def detect_read_errors(
     min_alt_votes while the read's own base keeps <= max_own_votes
     (the Vote_Qualify support test of findErrors.C).
     """
-    per = st.n_overlaps_per_read()  # per[i] = overlaps of read i+1
-    ids = (np.flatnonzero(per > 0) + 1).astype(np.int64)
+    per = st.n_overlaps_per_read()
+    ids = (np.flatnonzero(per > 0) + 1).astype(np.int32)
     if len(ids) == 0:
         return {}
-    jobs = evidence_jobs(rs, st, ids, max_evidence_coverage, 0)
-    if not jobs:
+    rows = select_evidence_rows(st, ids, rs.length, max_evidence_coverage, 0)
+    jobs = evidence_vote_jobs(st, rows, rs.length)
+    has_ev = np.zeros(rs.n_reads + 1, bool)
+    has_ev[jobs.t_idx + 1] = True
+    ids = ids[has_ev[ids]]
+    if len(ids) == 0:
         return {}
-    n_rows = _pow2_at_least(max(int(rs.length.max()), 256))
-    votes_of: dict[int, VoteArrays] = {}
-    for tid, _, _, _ in jobs:
-        if tid not in votes_of:
-            votes_of[tid] = VoteArrays.zeros(int(rs.length[tid - 1]))
-    run_alignment_batches(jobs, votes_of, band, n_rows, batch)
+
+    def finalize(words_d, len_d, t_idx, votes, Lt):
+        return _finalize_red(
+            words_d, len_d, t_idx, votes,
+            float(min_alt_votes), float(max_own_votes), Lt,
+        )
 
     out: dict[int, np.ndarray] = {}
-    for tid, v in votes_of.items():
-        own = rs.get_codes(tid).astype(np.int64)
-        base = v.base  # [t_len, 4]
-        alt = np.argmax(base, axis=1)
-        alt_votes = base[np.arange(len(own)), alt]
-        own_votes = base[np.arange(len(own)), own]
-        fix = (
-            (alt != own)
-            & (alt_votes >= min_alt_votes)
-            & (own_votes <= max_own_votes)
-            & (v.dele < alt_votes)  # a stronger deletion vote vetoes a sub
-        )
-        pos = np.flatnonzero(fix)
-        if len(pos):
-            out[tid] = np.stack([pos, alt[pos]], axis=1).astype(np.int32)
+    for bt, packed in run_vote_blocks(rs, jobs, ids, band, finalize):
+        live = packed[: len(bt)]
+        gg, pp = np.nonzero((live >> 2) & 1)  # fix positions (masked on device)
+        if len(gg) == 0:
+            continue
+        alt = (live[gg, pp] & 3).astype(np.int32)
+        cut = np.searchsorted(gg, np.arange(len(bt) + 1))
+        for g in np.unique(gg):
+            s, e = cut[g], cut[g + 1]
+            out[int(bt[g])] = np.stack(
+                [pp[s:e].astype(np.int32), alt[s:e]], axis=1
+            )
     return out
 
 
 def apply_corrections(rs: ReadSet, corrections: dict[int, np.ndarray]) -> ReadSet:
     """Corrected copy of the read set (substitutions in place, so all
-    overlap coordinates stay valid — the property OEA relies on)."""
-    codes = []
-    for rid in range(1, rs.n_reads + 1):
-        c = rs.get_codes(rid).copy()
-        fix = corrections.get(rid)
-        if fix is not None and len(fix):
-            c[fix[:, 0]] = fix[:, 1].astype(np.uint8)
-        codes.append(c)
-    names = [rs.name(i) for i in range(1, rs.n_reads + 1)]
-    return ReadSet.from_codes_list(codes, names)
+    overlap coordinates stay valid — the property OEA relies on).
+
+    Substitutions are applied as bit surgery on the packed word array
+    (grouped by within-word lane so scatter writes never collide)."""
+    words = rs.words.copy()
+    if corrections:
+        rid = np.concatenate(
+            [np.full(len(v), k, np.int64) for k, v in corrections.items()]
+        )
+        pos = np.concatenate([v[:, 0] for v in corrections.values()]).astype(np.int64)
+        base = np.concatenate([v[:, 1] for v in corrections.values()]).astype(np.uint32)
+        w = rs.word_off[rid - 1] + pos // 16
+        lane = (pos % 16).astype(np.int64)
+        for sh in range(16):
+            m = lane == sh
+            if not m.any():
+                continue
+            wi = w[m]
+            mask = np.uint32(~(np.uint32(3) << np.uint32(2 * sh)) & 0xFFFFFFFF)
+            words[wi] = (words[wi] & mask) | (base[m] << np.uint32(2 * sh))
+    names = list(rs.names) if rs.names else None
+    return ReadSet(words, rs.word_off, rs.length, names,
+                   rs.source_id, rs.source_bgn)
 
 
 def adjust_overlap_erates(
@@ -110,7 +128,10 @@ def adjust_overlap_erates(
 
     Returns the new uint16 erate_q array aligned with the store's rows
     (both mirror copies), ready for st.update_erates — the evalues
-    sidecar install of the reference.
+    sidecar install of the reference.  Erates are RECOMPUTED (they can
+    rise, matching correctOverlaps.C); a row keeps its old value only
+    when the re-verification's span collapsed below half the stored
+    span (a banding failure, not a measurement).
     """
     from .align import verify_overlaps
     from .minhash import OverlapCandidates
@@ -130,16 +151,24 @@ def adjust_overlap_erates(
         rs_fixed, cand, band=band, max_erate=1.0, min_overlap=0,
         chunk=chunk, engine=engine,
     )
-    new_q = {}
-    for i in range(len(ov)):
-        key = (int(ov.a_id[i]), int(ov.b_id[i]))
-        new_q[key] = int(ov.erate_q[i])
     out = st.erate_q.copy()
-    for r in range(len(st.a_id)):
-        a, b = int(st.a_id[r]), int(st.b_id[r])
-        q = new_q.get((a, b) if a < b else (b, a))
-        if q is not None:
-            # only ever lower an erate: corrections must not worsen pairs
-            # the re-verification happened to band differently
-            out[r] = min(int(out[r]), q)
+    if len(ov) == 0:
+        return out
+    M = np.int64(st.n_reads + 1)
+    a64 = ov.a_id.astype(np.int64)
+    b64 = ov.b_id.astype(np.int64)
+    ov_key = np.minimum(a64, b64) * M + np.maximum(a64, b64)
+    ov_span = np.minimum(ov.a_end - ov.a_bgn, ov.b_end - ov.b_bgn).astype(np.int64)
+    sk = np.argsort(ov_key, kind="stable")
+    ov_key_s = ov_key[sk]
+    sa64 = st.a_id.astype(np.int64)
+    sb64 = st.b_id.astype(np.int64)
+    st_key = np.minimum(sa64, sb64) * M + np.maximum(sa64, sb64)
+    pos = np.searchsorted(ov_key_s, st_key)
+    posc = np.minimum(pos, len(sk) - 1)
+    found = ov_key_s[posc] == st_key
+    match = sk[posc]
+    old_span = (st.a_end - st.a_bgn).astype(np.int64)
+    ok = found & (ov_span[match] * 2 >= old_span)
+    out[ok] = ov.erate_q[match[ok]]
     return out

@@ -1,0 +1,387 @@
+"""Device vote-pile engine: batched evidence alignment + on-device voting.
+
+This is the TPU-native core shared by read correction (falconsense,
+/root/reference/src/correction/falconConsensus-alignTag.C), read error
+detection (findErrors/RED, /root/reference/src/overlapErrorAdjustment/
+findErrors.C:374-510) and consensus polish (utgcns/abAbacus role) — all
+three reduce to: align many evidence windows onto template coordinates,
+accumulate per-column votes (base/deletion/insertion), then call a
+per-column plurality.
+
+Round-1 did the voting on host (one np.add.at per evidence alignment),
+which stalled at bacterial scale.  The device design:
+
+  * evidence jobs are columnar host arrays of INDICES into device-
+    resident packed-word planes; per chunk the host uploads a few KB of
+    ids/coords, never sequence data;
+  * alignment positions come from ops.trace.align_positions_lean
+    (fwd+bwd banded DP, uint8-normalized forward rows);
+  * votes are built as a one-hot contribution tensor [B, 10, Lt]
+    (bfloat16; channels = 4 base + 1 del + 1 ins + 4 ins-base), shifted
+    to template coordinates with log-round masked shifts, and folded
+    into the per-block vote accumulator [G, 10, Lt] with ONE matmul
+    (slot-one-hot [B, G]^T @ contrib) — the MXU does the scatter;
+  * the plurality/RED decision runs on device and is fetched as ONE
+    packed uint8 per template column (the tunnel to a remote TPU moves
+    ~16 MB/s; fetching raw votes would dominate the wall clock).
+
+Counts are exact in float32 (integers < 2^24).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kmer import unpack_bases
+from .trace import align_positions_lean
+
+# packed result bit layout (both plurality and RED modes)
+#   bits 0-1: called base (plurality) / alt base (RED)
+#   bits 2-3: insertion base call (plurality) / bit2 = fix flag (RED)
+#   bit 4: supported, bit 5: delete, bit 6: insert-after
+PB_CALL = 0
+PB_INS_CALL = 2
+PB_SUPPORTED = 4
+PB_DELETE = 5
+PB_INSERT = 6
+
+# vote channel layout along axis 1 of the [G, 10, Lt] accumulator
+CH_BASE = 0  # ..3
+CH_DEL = 4
+CH_INS = 5
+CH_INSBASE = 6  # ..9
+N_CH = 10
+
+
+def _shift_rows_left(x: jax.Array, t: jax.Array, out_len: int) -> jax.Array:
+    """out[b, i] = x[b, i + t[b]] (zero past the end), t >= 0 — log rounds."""
+    B, L = x.shape
+    if L < out_len:
+        x = jnp.pad(x, ((0, 0), (0, out_len - L)))
+        L = out_len
+    t = t.astype(jnp.int32)
+    j = 0
+    while (1 << j) < L:
+        s = 1 << j
+        shifted = jnp.concatenate([x[:, s:], jnp.zeros((B, s), x.dtype)], axis=1)
+        x = jnp.where((((t >> j) & 1) == 1)[:, None], shifted, x)
+        j += 1
+    return x[:, :out_len]
+
+
+def _shift_rows_right(x: jax.Array, t: jax.Array, out_len: int) -> jax.Array:
+    """out[b, i] = x[b, i - t[b]] for i >= t[b], zero before — log rounds."""
+    B, L = x.shape
+    if L < out_len:
+        x = jnp.pad(x, ((0, 0), (0, out_len - L)))
+        L = out_len
+    x = x[:, :out_len]
+    t = t.astype(jnp.int32)
+    j = 0
+    while (1 << j) < out_len:
+        s = 1 << j
+        shifted = jnp.concatenate(
+            [jnp.zeros((B, s), x.dtype), x[:, :-s]], axis=1
+        )
+        x = jnp.where((((t >> j) & 1) == 1)[:, None], shifted, x)
+        j += 1
+    return x
+
+
+def _gather_window(words: jax.Array, lengths: jax.Array, idx: jax.Array,
+                   bgn: jax.Array, flipped, out_len: int) -> jax.Array:
+    """Unpacked, oriented subsequence rows[idx][bgn : bgn+out_len].
+
+    bgn is in ORIENTED coordinates (for flipped rows: distance from the
+    read's 3' end).  flipped=None skips orientation entirely.
+    """
+    raw = unpack_bases(words[idx])
+    L = raw.shape[1]
+    if flipped is not None:
+        ln = lengths[idx]
+        rc = (3 - raw)[:, ::-1]
+        ori = jnp.where(flipped[:, None], rc, raw)
+        ori = _shift_rows_left(
+            ori, jnp.where(flipped, L - ln, 0) + bgn, out_len
+        )
+        return ori
+    return _shift_rows_left(raw, bgn, out_len)
+
+
+@partial(jax.jit, static_argnames=("band", "n_rows", "Lt", "G"),
+         donate_argnums=(0,))
+def _vote_chunk(
+    votes: jax.Array,  # f32[G, 10, Lt] accumulator (donated)
+    t_words: jax.Array, t_lengths: jax.Array,
+    e_words: jax.Array, e_lengths: jax.Array,
+    t_idx: jax.Array, e_idx: jax.Array,  # int32[B] rows into the planes
+    t_bgn: jax.Array, t_span: jax.Array,  # int32[B] template window
+    e_lo: jax.Array, e_span: jax.Array,  # int32[B] oriented evidence window
+    flipped: jax.Array,  # bool[B]
+    slot: jax.Array,  # int32[B] template slot in the block
+    band: int, n_rows: int, Lt: int, G: int,
+) -> jax.Array:
+    """Align one chunk of evidence windows and fold votes into the block."""
+    B = t_idx.shape[0]
+    W_e = n_rows + max(band, n_rows // 2)
+    t_sub = _gather_window(t_words, t_lengths, t_idx, t_bgn, None, n_rows)
+    e_sub = _gather_window(e_words, e_lengths, e_idx, e_lo, flipped, W_e)
+    e_span = jnp.minimum(e_span, W_e - 1)
+
+    js, _ = align_positions_lean(t_sub, t_span, e_sub, e_span, band, n_rows)
+
+    dj = js[:, 1:] - js[:, :-1]  # [B, n_rows]
+    rowpos = jnp.arange(n_rows, dtype=jnp.int32)[None, :]
+    live = rowpos < t_span[:, None]
+    active = live & (js[:, 1:] > 0) & (js[:, :-1] < e_span[:, None])
+    bidx = jnp.clip(js[:, 1:] - 1, 0, W_e - 1)
+    bchr = jnp.take_along_axis(e_sub, bidx, axis=1)
+    iidx = jnp.clip(js[:, :-1], 0, W_e - 1)
+    ichr = jnp.take_along_axis(e_sub, iidx, axis=1)
+    m_base = active & (dj >= 1)
+    m_del = active & (dj == 0)
+    m_ins = active & (dj >= 2)
+
+    # pack each position's vote into one byte, shift THAT to template
+    # coordinates (one log-round pass instead of ten), then expand to the
+    # channel one-hots at full width
+    code = (
+        bchr
+        | (ichr << 2)
+        | (m_base.astype(jnp.uint8) << 4)
+        | (m_del.astype(jnp.uint8) << 5)
+        | (m_ins.astype(jnp.uint8) << 6)
+    )
+    code = _shift_rows_right(code, t_bgn, Lt)  # [B, Lt]
+    cb = code & 3
+    ci = (code >> 2) & 3
+    has_b = (code >> 4) & 1
+    has_d = (code >> 5) & 1
+    has_i = (code >> 6) & 1
+    chans = [(has_b == 1) & (cb == c) for c in range(4)]
+    chans.append(has_d == 1)
+    chans.append(has_i == 1)
+    chans += [(has_i == 1) & (ci == c) for c in range(4)]
+    contrib = jnp.stack(chans, axis=1).astype(jnp.bfloat16)  # [B, 10, Lt]
+    contrib = contrib.reshape(B, N_CH * Lt)
+    onehot = (slot[:, None] == jnp.arange(G, dtype=jnp.int32)[None, :]).astype(
+        jnp.bfloat16
+    )
+    delta = jnp.einsum(
+        "bg,bn->gn", onehot, contrib, preferred_element_type=jnp.float32
+    )
+    return votes + delta.reshape(G, N_CH, Lt)
+
+
+def _template_codes(t_words, t_lengths, t_idx, Lt: int):
+    t_all = unpack_bases(t_words[t_idx])
+    LW = t_all.shape[1]
+    if LW < Lt:
+        t_all = jnp.pad(t_all, ((0, 0), (0, Lt - LW)))
+    t_codes = t_all[:, :Lt]
+    tl = t_lengths[t_idx]
+    pos_live = jnp.arange(Lt, dtype=jnp.int32)[None, :] < tl[:, None]
+    return t_codes, pos_live
+
+
+@partial(jax.jit, static_argnames=("Lt", "keep_template"))
+def _finalize_plurality(
+    t_words, t_lengths, t_idx, votes, min_cov, Lt: int, keep_template: bool
+):
+    """Per-column plurality -> ONE packed uint8 per template column.
+
+    Mirrors ops.voting.plurality_call exactly (the template votes once
+    for itself; deletes/inserts need a strict majority of coverage).
+    """
+    t_codes, pos_live = _template_codes(t_words, t_lengths, t_idx, Lt)
+    self_vote = (
+        (t_codes[:, None, :] == jnp.arange(4, dtype=jnp.uint8)[None, :, None])
+        & pos_live[:, None, :]
+    ).astype(jnp.float32)
+    bv = votes[:, CH_BASE : CH_BASE + 4, :] + self_vote  # [G, 4, Lt]
+    cov = jnp.sum(bv, axis=1) + votes[:, CH_DEL, :]
+    call = jnp.argmax(bv, axis=1).astype(jnp.uint8)
+    delete = votes[:, CH_DEL, :] * 2 > cov
+    insert_after = votes[:, CH_INS, :] * 2 > jnp.maximum(cov, 1.0)
+    ins_call = jnp.argmax(votes[:, CH_INSBASE : CH_INSBASE + 4, :], axis=1
+                          ).astype(jnp.uint8)
+    supported = (cov >= min_cov) & pos_live
+    if keep_template:
+        call = jnp.where(supported, call, t_codes)
+        delete = delete & supported
+        insert_after = insert_after & supported
+        supported = pos_live
+    packed = (
+        call
+        | (ins_call << PB_INS_CALL)
+        | (supported.astype(jnp.uint8) << PB_SUPPORTED)
+        | (delete.astype(jnp.uint8) << PB_DELETE)
+        | (insert_after.astype(jnp.uint8) << PB_INSERT)
+    )
+    return packed, cov
+
+
+@partial(jax.jit, static_argnames=("Lt",))
+def _finalize_red(t_words, t_lengths, t_idx, votes, min_alt, max_own, Lt: int):
+    """findErrors decision: alt base + fix flag per column, packed uint8.
+
+    A position is corrected when an alternative base gets >= min_alt
+    votes while the read's own base keeps <= max_own and no stronger
+    deletion vote vetoes it (findErrors.C Vote_Qualify semantics)."""
+    t_codes, pos_live = _template_codes(t_words, t_lengths, t_idx, Lt)
+    bv = votes[:, CH_BASE : CH_BASE + 4, :]  # [G, 4, Lt]
+    alt = jnp.argmax(bv, axis=1).astype(jnp.uint8)
+    alt_v = jnp.max(bv, axis=1)
+    own_v = jnp.take_along_axis(bv, t_codes[:, None, :].astype(jnp.int32),
+                                axis=1)[:, 0, :]
+    fix = (
+        (alt != t_codes)
+        & (alt_v >= min_alt)
+        & (own_v <= max_own)
+        & (votes[:, CH_DEL, :] < alt_v)
+        & pos_live
+    )
+    return alt | (fix.astype(jnp.uint8) << 2)
+
+
+# ---- host-side drivers -------------------------------------------------------
+
+
+@dataclass
+class VoteJobs:
+    """Columnar evidence jobs (all int32/bool numpy arrays, same length).
+
+    t_idx/e_idx index rows of the device word planes; t_bgn/t_span is the
+    template window; e_lo/e_span the evidence window in ORIENTED
+    coordinates (for flipped evidence, e_lo = len - fwd_end); slot is the
+    template's row in the block accumulator."""
+
+    t_idx: np.ndarray
+    e_idx: np.ndarray
+    t_bgn: np.ndarray
+    t_span: np.ndarray
+    e_lo: np.ndarray
+    e_span: np.ndarray
+    flipped: np.ndarray
+    slot: np.ndarray
+
+    def __len__(self):
+        return len(self.t_idx)
+
+    @classmethod
+    def concat(cls, parts):
+        return cls(**{
+            f: np.concatenate([getattr(p, f) for p in parts])
+            for f in ("t_idx", "e_idx", "t_bgn", "t_span", "e_lo", "e_span",
+                      "flipped", "slot")
+        })
+
+
+def _pow2_at_least(x: int) -> int:
+    return 1 << max(0, int(x - 1).bit_length())
+
+
+# budget knobs: positions per vote block (G*Lt) and DP cells per chunk
+# (B*n_rows); sized so peak device memory stays < ~1 GB per shape
+BLOCK_POS_BUDGET = 1 << 21
+CHUNK_CELL_BUDGET = 1 << 21
+
+
+def block_geometry(max_t_len: int) -> tuple[int, int]:
+    """(G, Lt) for a template block whose longest template is max_t_len."""
+    Lt = _pow2_at_least(max(max_t_len, 256))
+    G = max(8, min(256, BLOCK_POS_BUDGET // Lt))
+    return G, Lt
+
+
+def pile_votes(
+    t_words, t_lengths, e_words, e_lengths,
+    jobs: VoteJobs, G: int, Lt: int, band: int | None = None,
+) -> jax.Array:
+    """Run all evidence jobs of one template block; returns device votes
+    f32[G, 10, Lt].  Jobs are processed longest-template-window first in
+    power-of-two row buckets so a handful of compiled shapes covers any
+    span mix."""
+    votes = jnp.zeros((G, N_CH, Lt), jnp.float32)
+    n = len(jobs)
+    if n == 0:
+        return votes
+    order = np.argsort(-jobs.t_span, kind="stable")
+    pos = 0
+    while pos < n:
+        span0 = int(jobs.t_span[order[pos]])
+        n_rows = min(max(128, _pow2_at_least(span0)), Lt)
+        B = max(32, min(256, CHUNK_CELL_BUDGET // n_rows))
+        band_c = band if band is not None else (128 if n_rows <= 8192 else 256)
+        band_c = min(band_c, 256)
+        take = order[pos : pos + B]
+        pos += B
+
+        def col(name, pad=0):
+            v = getattr(jobs, name)[take]
+            if len(take) < B:
+                v = np.concatenate(
+                    [v, np.full(B - len(take), pad, dtype=v.dtype)]
+                )
+            return jnp.asarray(v)
+
+        votes = _vote_chunk(
+            votes, t_words, t_lengths, e_words, e_lengths,
+            col("t_idx"), col("e_idx"),
+            col("t_bgn"), col("t_span"),  # pad rows have t_span=0: no votes
+            col("e_lo"), col("e_span"),
+            col("flipped", pad=False), col("slot"),
+            band_c, n_rows, Lt, G,
+        )
+    return votes
+
+
+def decode_pieces(row: np.ndarray):
+    """Packed uint8 row -> list of (start_pos, piece_codes) over supported
+    runs (falcon-sense low-coverage splitting)."""
+    from .voting import _interleave
+
+    supported = (row >> PB_SUPPORTED) & 1
+    call = row & 3
+    delete = ((row >> PB_DELETE) & 1).astype(bool)
+    ins = ((row >> PB_INSERT) & 1).astype(bool)
+    ins_call = (row >> PB_INS_CALL) & 3
+    padded = np.concatenate([[0], supported, [0]])
+    starts = np.flatnonzero((padded[:-1] == 0) & (padded[1:] == 1))
+    ends = np.flatnonzero((padded[:-1] == 1) & (padded[1:] == 0))
+    out = []
+    for b, e in zip(starts, ends):
+        idx = np.arange(b, e)
+        seq = _interleave(call[idx].astype(np.uint8), ~delete[idx],
+                          ins[idx], ins_call[idx].astype(np.uint8))
+        out.append((int(b), seq))
+    return out
+
+
+def device_words(rs) -> tuple[jax.Array, jax.Array]:
+    """Device-resident packed words + lengths for a ReadSet, with one
+    trailing all-zero padding row (cached; shares the ReadIndex planes
+    when one was already built for the overlap stage)."""
+    cache = rs.__dict__.get("_read_index_cache")
+    if cache:
+        idx = next(iter(cache.values()))
+        return idx.words, idx.length
+    cached = rs.__dict__.get("_device_words_cache")
+    if cached is not None:
+        return cached
+    from ..utils.bitpack import n_words
+
+    N = rs.n_reads
+    max_len = int(rs.length.max()) if N else 1
+    W = 1 << max(0, int(n_words(max_len) - 1).bit_length())
+    host_words, host_len = rs.block_words(np.arange(1, N + 1, dtype=np.int64), W)
+    host_words = np.vstack([host_words, np.zeros((1, W), np.uint32)])
+    host_len = np.concatenate([host_len, np.zeros(1, np.int32)])
+    cached = (jnp.asarray(host_words), jnp.asarray(host_len))
+    rs.__dict__["_device_words_cache"] = cached
+    return cached

@@ -33,7 +33,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..ops.hashing import mix32
-from ..ops.kmer import INVALID_KMER, extract_kmers
+from ..ops.kmer import INVALID_KMER, extract_kmers_any
 
 UINT32_MAX = np.uint32(0xFFFFFFFF)
 
@@ -51,7 +51,7 @@ def make_overlap_mesh(n_devices: int | None = None) -> Mesh:
 
 def _local_sketch(words, lengths, seeds, fk, k: int):
     """Sketch one read block against a slice of hash seeds. [B, H_loc]."""
-    canon, _ = extract_kmers(words, lengths, k)
+    canon, _ = extract_kmers_any(words, lengths, k)
     valid = canon != INVALID_KMER
     if fk.shape[0] > 0:
         idx = jax.vmap(lambda v: jnp.searchsorted(fk, v))(canon)
@@ -143,7 +143,7 @@ def sharded_kmer_count_step(mesh: Mesh, k: int = 16, bin_capacity: int = 0):
         check_vma=False,
     )
     def step(words, lengths):
-        canon, _ = extract_kmers(words, lengths, k)
+        canon, _ = extract_kmers_any(words, lengths, k)
         km = canon.reshape(-1)
         valid = km != INVALID_KMER
         cap = bin_capacity or max(128, (2 * km.shape[0]) // n)
@@ -198,7 +198,7 @@ def sharded_pipeline_step(mesh: Mesh, k: int = 16, band: int = 128):
     )
     def step(words, lengths, seeds_local, fk):
         # 1. k-mer spectrum: local count + global psum (meryl equivalent)
-        canon, _ = extract_kmers(words, lengths, k)
+        canon, _ = extract_kmers_any(words, lengths, k)
         _, c = sort_count(canon.reshape(-1))
         hist = histogram_device(c, 64)
         hist = jax.lax.psum(hist, ("r", "h"))

@@ -1,0 +1,187 @@
+"""Mesh-sharded pipeline stages: distributed meryl + ring all-vs-all
+candidate discovery.
+
+These are the functions `pipeline.stages` actually calls when more than
+one device is visible (config `shardedCompute`), replacing the
+reference's grid decomposition with XLA collectives:
+
+  * k-mer counting: every shard extracts its local reads' k-mers and
+    routes each to its owner shard by hash range with ONE all_to_all
+    (parallel.mesh.sharded_kmer_count_step) — the reference's
+    bucketize/sort/index disk shuffle (/root/reference/src/stores/
+    ovStoreBucketizer.C, SURVEY §2.13(3)) as a single collective;
+  * candidate discovery: sketches are sharded by read block over a 1-D
+    mesh; each of ceil(n/2)+1 ring steps matches the local block against
+    a block rotating through the mesh via ppermute, so per-device memory
+    stays O(N/n) — this kills the all_gather-everything shortcut of the
+    round-1 dryrun (the hash-block x query-block job matrix of
+    /root/reference/src/pipelines/canu/OverlapMhap.pm:191-296, but the
+    "jobs" are ring phases on a device mesh);
+  * half-ring dedup: block pair (r, r') is matched exactly once —
+    self-blocks keep i < j, the final step of an even ring keeps only
+    r < r' — so the candidate SET is identical to the single-device
+    block x block pass (tested).
+
+Banded verification stays per-shard single-device code: each host
+verifies the candidates its shard discovered with the standard engine
+(ops.align.verify_overlaps); the candidate matrix was the O(N^2) part.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8 moved shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+UINT32_MAX = np.uint32(0xFFFFFFFF)
+
+
+def default_mesh(n_devices: int | None = None) -> Mesh:
+    from .mesh import make_shard_mesh
+
+    return make_shard_mesh(n_devices)
+
+
+# ---- distributed meryl -------------------------------------------------------
+
+
+def sharded_count_readset(readset, k: int = 16, mesh: Mesh | None = None,
+                          bin_capacity: int = 0):
+    """Distributed k-mer counting; returns a host KmerCounts identical to
+    the single-device count (hash-range routing makes local counts
+    global).  The multi-host meryl of SURVEY §2.13."""
+    from ..ops.kmer import INVALID_KMER, KmerCounts
+    from ..utils.bitpack import n_words
+    from .mesh import sharded_kmer_count_step
+
+    mesh = mesh or default_mesh()
+    n = mesh.devices.size
+    N = readset.n_reads
+    W = 1 << max(0, int(n_words(max(1, readset.max_length)) - 1).bit_length())
+    Npad = -(-max(N, 1) // n) * n
+    words, lengths = readset.block_words(np.arange(1, N + 1, dtype=np.int64), W)
+    if Npad > N:
+        words = np.vstack([words, np.zeros((Npad - N, W), np.uint32)])
+        lengths = np.concatenate([lengths, np.zeros(Npad - N, np.int32)])
+    step = sharded_kmer_count_step(mesh, k=k, bin_capacity=bin_capacity)
+    km, ct, hist, dropped = step(jnp.asarray(words), jnp.asarray(lengths))
+    if int(dropped) > 0:
+        raise RuntimeError(
+            f"sharded k-mer count dropped {int(dropped)} k-mers; "
+            f"raise bin_capacity"
+        )
+    km = np.asarray(km).reshape(-1)
+    ct = np.asarray(ct).reshape(-1)
+    keep = (km != INVALID_KMER) & (ct > 0)
+    km, ct = km[keep], ct[keep].astype(np.int64)
+    order = np.argsort(km, kind="stable")
+    return KmerCounts(k, km[order], ct[order])
+
+
+# ---- ring all-vs-all candidates ---------------------------------------------
+
+
+def _ring_step_fn(mesh: Mesh, B_loc: int, H: int, min_matches: int,
+                  cap: int, n: int):
+    T = n // 2 + 1  # half ring + self step covers every block pair once
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("s", None),),
+        out_specs=(P("s", None), P("s")),
+        check_vma=False,
+    )
+    def step(sk_local):
+        my_r = jax.lax.axis_index("s")
+        perm = [((i + 1) % n, i) for i in range(n)]  # shift blocks down
+
+        def match(SA, SB):
+            def body(h, acc):
+                a = SA[:, h]
+                b = SB[:, h]
+                eq = (a[:, None] == b[None, :]) & (a != UINT32_MAX)[:, None]
+                return acc + eq.astype(jnp.int32)
+
+            return jax.lax.fori_loop(
+                0, H, body, jnp.zeros((B_loc, B_loc), jnp.int32)
+            )
+
+        def body(t, carry):
+            rot, out, nfound = carry
+            cnt = match(sk_local, rot)
+            mask = cnt >= min_matches
+            ii = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)
+            src = (my_r + t) % n
+            # dedup: self block i<j; last step of an even ring only r<src
+            mask = jnp.where(t == 0, mask & (ii < jj), mask)
+            emit = (t < (n + 1) // 2) | (my_r < src)
+            mask = mask & emit
+            found = jnp.sum(mask.astype(jnp.int32))
+            pi, pj = jnp.nonzero(mask, size=cap, fill_value=B_loc)
+            live = pi < B_loc
+            a_id = jnp.where(live, my_r * B_loc + pi + 1, 0)
+            b_id = jnp.where(live, src * B_loc + pj + 1, 0)
+            c = jnp.where(
+                live,
+                cnt[jnp.minimum(pi, B_loc - 1), jnp.minimum(pj, B_loc - 1)],
+                0,
+            )
+            rows = jnp.stack([a_id, b_id, c], axis=1)  # [cap, 3]
+            out = jax.lax.dynamic_update_slice(out, rows[None], (t, 0, 0))
+            rot = jax.lax.ppermute(rot, "s", perm)
+            return rot, out, jnp.maximum(nfound, found)
+
+        out0 = jnp.zeros((T, cap, 3), jnp.int32)
+        rot, out, nfound = jax.lax.fori_loop(
+            0, T, body, (sk_local, out0, jnp.int32(0))
+        )
+        return out.reshape(T * cap, 3), nfound[None]
+
+    return jax.jit(step)
+
+
+def sharded_find_candidates(
+    sketches: np.ndarray,
+    min_matches: int = 3,
+    mesh: Mesh | None = None,
+    cap_per_step: int = 1 << 17,
+) -> np.ndarray:
+    """Ring all-vs-all candidate pairs over the mesh.
+
+    Returns int64[M, 3] (a_id, b_id, slot_matches), a_id < b_id, sorted —
+    the same contract (and the same SET) as ops.minhash.find_candidates.
+    """
+    mesh = mesh or default_mesh()
+    n = mesh.devices.size
+    N, H = sketches.shape
+    B_loc = -(-max(N, 1) // n)
+    Npad = B_loc * n
+    if Npad > N:
+        sketches = np.vstack([
+            sketches,
+            np.full((Npad - N, H), UINT32_MAX, np.uint32),
+        ])
+    step = _ring_step_fn(mesh, B_loc, H, min_matches, cap_per_step, n)
+    out, nfound = step(jnp.asarray(sketches))
+    worst = int(np.asarray(nfound).max())
+    if worst > cap_per_step:
+        raise RuntimeError(
+            f"candidate overflow in ring step: {worst} > cap={cap_per_step}"
+        )
+    rows = np.asarray(out).astype(np.int64)
+    rows = rows[rows[:, 0] > 0]
+    rows = rows[rows[:, 1] <= N]  # drop pairs into padding rows
+    rows = rows[rows[:, 0] <= N]
+    flip = rows[:, 0] > rows[:, 1]
+    rows[flip, 0], rows[flip, 1] = rows[flip, 1], rows[flip, 0]
+    return rows[np.lexsort((rows[:, 1], rows[:, 0]))]

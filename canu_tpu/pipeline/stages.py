@@ -25,6 +25,17 @@ from .driver import AssemblyCtx, run_stage
 TAG_DIR = {"cor": "correction", "obt": "trimming", "utg": "unitigging"}
 
 
+def sharded_enabled(cfg) -> bool:
+    """True when the meryl/candidate stages should run on the device mesh
+    (config shardedCompute: auto = whenever >1 device is visible)."""
+    v = str(cfg.get("shardedCompute")).strip().lower()
+    if v == "auto":
+        import jax
+
+        return jax.device_count() > 1
+    return v in ("1", "true", "yes", "on")
+
+
 # ---- shared per-phase stages ------------------------------------------------
 
 
@@ -67,7 +78,15 @@ def meryl(ctx: AssemblyCtx, tag: str, rs: ReadSet):
         return os.path.exists(out)
 
     def fn() -> None:
-        kc = K.count_readset_device(rs, k=k, block_size=256)
+        if sharded_enabled(ctx.cfg) and k <= 16:
+            # distributed meryl: hash-range all_to_all over the mesh
+            # (identical counts — every k-mer lands on one owner shard);
+            # k > 16 stays single-device where the exact 2-lane sort lives
+            from ..parallel.shard_overlap import sharded_count_readset
+
+            kc = sharded_count_readset(rs, k=k)
+        else:
+            kc = K.count_readset_device(rs, k=k, block_size=256)
         fk = K.frequent_kmers(kc, distinct_fraction=float(ctx.cfg.get(tag + "MerDistinct")))
         hist = kc.histogram(1000)
         np.savez(
@@ -117,7 +136,14 @@ def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
         coverage = rs.total_bases / max(1.0, cfg.get("genomeSize"))
         n_hashes, min_matches = cfg.sketch_preset(tag, coverage)
         sk = MH.build_sketches(rs, k=k, n_hashes=n_hashes, frequent=fk, block_size=256)
-        pairs = MH.find_candidates(sk, min_matches=min_matches, block_size=1024)
+        if sharded_enabled(cfg):
+            # ring all-vs-all over the device mesh: same candidate SET as
+            # the single-device block x block pass, O(N/n) per device
+            from ..parallel.shard_overlap import sharded_find_candidates
+
+            pairs = sharded_find_candidates(sk, min_matches=min_matches)
+        else:
+            pairs = MH.find_candidates(sk, min_matches=min_matches, block_size=1024)
         # beyond-RAM scale: stream verified chunks to a spill file and
         # build the store with the native external merge sort instead of
         # accumulating the table in memory
@@ -234,48 +260,73 @@ def trimming_phase(ctx: AssemblyCtx, corrected_inputs: list[str]) -> None:
         min_ovl = int(ctx.cfg.get("minOverlapLength"))
         from ..io.fastx import write_fasta
 
-        from ..utils.intervals import covered_intervals
+        from ..utils.intervals import covered_intervals_all
         from .splitreads import detect_bad_regions, subtract_regions
 
         # hang-pattern subread-loop junctions from opposite-orientation
         # duplicate overlap pairs (splitReads-subReads.C semantics)
         bad_regions = detect_bad_regions(st)
 
-        records = []
-        n_trimmed = n_dropped = n_split = 0
-        n_junction = len(bad_regions)
-        for rid in range(1, rs.n_reads + 1):
-            o = st.overlaps_for(rid)
-            spans = np.stack([o["a_bgn"], o["a_end"]], axis=1)
-            spans = spans[(spans[:, 1] - spans[:, 0]) >= min_ovl]
-            # every well-covered interval becomes a read: coverage gaps
-            # inside a read indicate chimeric junctions / unsplit subreads
-            # (the reference's splitReads role,
-            # /root/reference/src/overlapBasedTrimming/splitReads.H:50)
-            iv = covered_intervals(spans, min_cov)
-            iv = [(int(b), int(e)) for b, e in iv]
-            if rid in bad_regions:
-                iv = subtract_regions(iv, bad_regions[rid])
-            iv = [(b, e) for b, e in iv if e - b >= min_len]
-            if not iv:
-                n_dropped += 1
-                continue
-            if len(iv) > 1:
-                n_split += 1
-            codes = rs.get_codes(rid)
-            for pi, (bgn, end) in enumerate(iv):
-                if end - bgn < int(rs.length[rid - 1]):
-                    n_trimmed += 1
-                suffix = f"_s{pi}" if len(iv) > 1 else ""
-                records.append(
-                    (f"{rs.name(rid)}_trim_{bgn}_{end}{suffix}",
-                     bitpack.codes_to_seq(codes[bgn:end]))
+        # every well-covered interval becomes a read: coverage gaps
+        # inside a read indicate chimeric junctions / unsplit subreads
+        # (the reference's splitReads role,
+        # /root/reference/src/overlapBasedTrimming/splitReads.H:50) —
+        # one columnar sweep over the whole store, no per-read loop
+        long_enough = (st.a_end - st.a_bgn) >= min_ovl
+        iv_rid, iv_bgn, iv_end = covered_intervals_all(
+            st.a_id[long_enough], st.a_bgn[long_enough], st.a_end[long_enough],
+            min_cov,
+        )
+        if bad_regions:
+            # junction subtraction touches only flagged reads
+            touched = np.isin(iv_rid, np.fromiter(bad_regions, np.int64))
+            keep_rows = [
+                (iv_rid[~touched], iv_bgn[~touched], iv_end[~touched])
+            ]
+            for rid in sorted(bad_regions):
+                m = iv_rid == rid
+                iv = subtract_regions(
+                    list(zip(iv_bgn[m].tolist(), iv_end[m].tolist())),
+                    bad_regions[rid],
                 )
-        write_fasta(out + ".WORKING.gz", records)
+                if iv:
+                    b = np.array([x[0] for x in iv], np.int64)
+                    e = np.array([x[1] for x in iv], np.int64)
+                    keep_rows.append((np.full(len(iv), rid, np.int64), b, e))
+            iv_rid = np.concatenate([r[0] for r in keep_rows])
+            iv_bgn = np.concatenate([r[1] for r in keep_rows])
+            iv_end = np.concatenate([r[2] for r in keep_rows])
+            order = np.lexsort((iv_bgn, iv_rid))
+            iv_rid, iv_bgn, iv_end = iv_rid[order], iv_bgn[order], iv_end[order]
+        ok = (iv_end - iv_bgn) >= min_len
+        iv_rid, iv_bgn, iv_end = iv_rid[ok], iv_bgn[ok], iv_end[ok]
+
+        pieces_of = np.bincount(iv_rid, minlength=rs.n_reads + 1)
+        n_dropped = int(np.sum(pieces_of[1:] == 0))
+        n_split = int(np.sum(pieces_of[1:] > 1))
+        n_trimmed = int(
+            np.sum((iv_end - iv_bgn) < rs.length[iv_rid - 1])
+        )
+        n_junction = len(bad_regions)
+
+        def records():
+            last_rid, codes, pi = 0, None, 0
+            for i in range(len(iv_rid)):
+                rid = int(iv_rid[i])
+                if rid != last_rid:
+                    codes = rs.get_codes(rid)
+                    last_rid, pi = rid, 0
+                bgn, end = int(iv_bgn[i]), int(iv_end[i])
+                suffix = f"_s{pi}" if pieces_of[rid] > 1 else ""
+                pi += 1
+                yield (f"{rs.name(rid)}_trim_{bgn}_{end}{suffix}",
+                       bitpack.codes_to_seq(codes[bgn:end]))
+
+        n_kept = write_fasta(out + ".WORKING.gz", records())
         os.replace(out + ".WORKING.gz", out)
         ctx.report.add(
             "obt.trim",
-            f"kept {len(records)} reads ({n_trimmed} trimmed, {n_split} split, "
+            f"kept {n_kept} reads ({n_trimmed} trimmed, {n_split} split, "
             f"{n_junction} subread junctions), dropped {n_dropped}",
         )
 
@@ -340,6 +391,7 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
             max_erate=float(ctx.cfg.get("utgOvlErrorRate")),
             min_span=int(ctx.cfg.get("minOverlapLength")),
             min_reads_per_contig=int(ctx.cfg.get("contigFilterMinReads")),
+            deviation=float(ctx.cfg.get("utgGraphDeviation")),
         )
         n_regions = n_broken = 0
         if bool(ctx.cfg.get("repeatDetect")):

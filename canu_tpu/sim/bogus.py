@@ -254,9 +254,10 @@ def place_contig(
                 ca = cpos[run_start:i]
                 ga = gp[run_start:i]
                 if rc[run_start]:
-                    # oriented-a offset of a k-mer at contig pos cp:
-                    # rc maps [cp, cp+k) to [c1-cp-k, c1-cp)
-                    aa = c1 - ca - k - c0
+                    # oriented-a offset of a k-mer at contig pos cp: rc of
+                    # the segment [c0, c1) maps window [cp, cp+k) to
+                    # [(c1-c0) - (cp-c0) - k, ...) = [c1 - cp - k, ...)
+                    aa = c1 - ca - k
                     order = np.argsort(aa)
                     aa = aa[order]
                     bb = ga[order] - g0

@@ -41,6 +41,41 @@ def covered_intervals(spans: np.ndarray, min_cov: int = 1) -> np.ndarray:
     return np.array(out, dtype=np.int64) if out else np.zeros((0, 2), np.int64)
 
 
+def covered_intervals_all(
+    owner: np.ndarray, bgn: np.ndarray, end: np.ndarray, min_cov: int = 1
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """covered_intervals for MANY owners in one columnar sweep.
+
+    owner int[n] groups spans (e.g. 1-based read id); returns
+    (iv_owner, iv_bgn, iv_end) for every maximal interval with coverage
+    >= min_cov, ordered by (owner, bgn).  Event-order semantics are
+    identical to covered_intervals (at equal positions a close precedes
+    an open, so touching spans yield two adjacent intervals).
+    """
+    n = len(owner)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    pos = np.concatenate([bgn, end]).astype(np.int64)
+    delta = np.concatenate([np.ones(n, np.int64), -np.ones(n, np.int64)])
+    own = np.concatenate([owner, owner]).astype(np.int64)
+    order = np.lexsort((delta, pos, own))
+    own, pos, delta = own[order], pos[order], delta[order]
+    cum = np.cumsum(delta)
+    new_seg = np.concatenate([[True], own[1:] != own[:-1]])
+    seg_off = np.maximum.accumulate(np.where(new_seg, cum - delta, np.int64(0)))
+    depth = cum - seg_off
+    above = depth >= min_cov
+    prev_above = np.concatenate([[False], above[:-1]]) & ~new_seg
+    s_idx = np.flatnonzero(above & ~prev_above)
+    e_idx = np.flatnonzero(~above & prev_above)
+    # depth returns to 0 at each owner's last event, so starts/ends
+    # alternate within every segment and pair positionally
+    assert len(s_idx) == len(e_idx)
+    keep = pos[e_idx] > pos[s_idx]
+    return own[s_idx[keep]], pos[s_idx[keep]], pos[e_idx[keep]]
+
+
 def largest_covered(spans: np.ndarray, min_cov: int = 1) -> tuple[int, int]:
     """Largest interval covered >= min_cov (trimReads-largestCovered
     equivalent, /root/reference/src/overlapBasedTrimming/

@@ -163,6 +163,7 @@ def test_verify_rejects_false_candidates():
     assert len(ov) == 0
 
 
+@pytest.mark.slow
 def test_pipeline_recall_and_precision():
     g = random_genome(20_000, seed=15)
     rs, truth = simulate_reads(
@@ -187,6 +188,7 @@ def test_pipeline_recall_and_precision():
     assert 0.1 < med_er < 0.3, med_er
 
 
+@pytest.mark.slow
 def test_verify_orient_mode_matches_placed_path():
     """Raw (a,b) pairs into verify_overlaps (orientation voted in-kernel,
     place_candidates folded in) must find the same overlaps as the

@@ -5,6 +5,7 @@ harness (/root/reference/src/bogus/) — assembled contigs are compared
 against the known simulated genome.
 """
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -61,6 +62,7 @@ def identity_vs_genome(contig_codes, genome):
     return best if best is not None else 0.0
 
 
+@pytest.mark.slow
 def test_slice_zero_error():
     g = random_genome(15_000, seed=30)
     rs, truth = simulate_reads(
@@ -83,6 +85,7 @@ def test_slice_zero_error():
     assert ident >= 0.999, ident
 
 
+@pytest.mark.slow
 def test_slice_noisy():
     g = random_genome(15_000, seed=32)
     rs, truth = simulate_reads(
@@ -101,6 +104,7 @@ def test_slice_noisy():
     assert ident >= 0.90, ident
 
 
+@pytest.mark.slow
 def test_store_roundtrip(tmp_path):
     g = random_genome(6000, seed=34)
     rs, _ = simulate_reads(g, coverage=6, mean_len=1500, min_len=800, error_rate=0.02, seed=35, circular=False)

@@ -1,6 +1,7 @@
 """Truth-harness tests: ideal assembly, UNIQ/REPT classification, and
 assembly-vs-genome evaluation (bogus/bogusness equivalents)."""
 
+import pytest
 import numpy as np
 
 from canu_tpu.sim.bogus import (
@@ -41,6 +42,7 @@ def test_ideal_contigs_chain_and_gap():
     assert ng50(iv[:, 1] - iv[:, 0], len(g)) >= 10_000
 
 
+@pytest.mark.slow
 def test_evaluate_perfect_assembly():
     g = random_genome(40_000, seed=9)
     # the "assembly" = the genome split into two overlapping pieces,
@@ -57,6 +59,7 @@ def test_evaluate_perfect_assembly():
     assert rev == [False, True]
 
 
+@pytest.mark.slow
 def test_evaluate_detects_misjoin_and_errors():
     g = random_genome(40_000, seed=10)
     # chimeric contig: two distant genome segments glued together
@@ -75,6 +78,7 @@ def test_evaluate_detects_misjoin_and_errors():
     assert 0.90 < ev2.identity < 0.99
 
 
+@pytest.mark.slow
 def test_evaluate_circular_wrap():
     g = random_genome(30_000, seed=12)
     # contig spanning the origin of a circular genome

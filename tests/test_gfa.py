@@ -1,5 +1,6 @@
 """GFA output + alignGFA-equivalent edge verification."""
 
+import pytest
 import numpy as np
 
 from canu_tpu.io.gfa import align_links, write_gfa
@@ -15,6 +16,7 @@ def _tig(tid, cns):
                bgn + 100, np.zeros(n, bool), consensus=cns)
 
 
+@pytest.mark.slow
 def test_align_links_confirms_true_edge_and_drops_fake():
     rng = np.random.default_rng(5)
     whole = rng.integers(0, 4, size=3000).astype(np.uint8)
@@ -33,6 +35,7 @@ def test_align_links_confirms_true_edge_and_drops_fake():
     assert er < 0.02
 
 
+@pytest.mark.slow
 def test_align_links_reverse_orientation():
     rng = np.random.default_rng(6)
     whole = rng.integers(0, 4, size=2400).astype(np.uint8)

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 
 from canu_tpu.ops import kmer as K
@@ -55,6 +56,7 @@ def test_placement_forward_and_flipped():
     assert cand.b_lo[i_rc] >= 1480 and cand.b_hi[i_rc] >= 3950
 
 
+@pytest.mark.slow
 def test_candidate_recall_on_simulated_reads():
     g = random_genome(30_000, seed=3)
     rs, truth = simulate_reads(

@@ -59,6 +59,7 @@ def _cases(seed, B, LA, band, drift=False):
     ), n_rows
 
 
+@pytest.mark.slow
 def test_myers_matches_reference_straight_band():
     args, n_rows = _cases(0, 16, 512, 128)
     e1, au1, bu1 = map(np.asarray, banded_extend(*args, band=128, n_rows=n_rows))
@@ -68,6 +69,7 @@ def test_myers_matches_reference_straight_band():
     assert bu1.tolist() == bu2.tolist()
 
 
+@pytest.mark.slow
 def test_myers_never_worse_with_drifting_band():
     args, n_rows = _cases(7, 24, 512, 128, drift=True)
     e1, _, _ = map(np.asarray, banded_extend(*args, band=128, n_rows=n_rows))
@@ -83,6 +85,7 @@ def test_myers_never_worse_with_drifting_band():
     assert ((au2 == a_len) | (bu2 == b_len)).all()
 
 
+@pytest.mark.slow
 def test_myers_zero_length_edges():
     B, LA, band = 8, 256, 128
     a = np.zeros((B, LA), np.uint8)

@@ -32,6 +32,7 @@ def _mutate(rng, seq, er):
 
 
 @pytest.mark.parametrize("er", [0.05, 0.2])
+@pytest.mark.slow
 def test_pallas_matches_xla(er):
     rng = np.random.default_rng(int(er * 100))
     B, LA, LB, n_rows = 5, 150, 160, 128

@@ -1,5 +1,6 @@
 """RED/OEA overlap error adjustment (findErrors/correctOverlaps)."""
 
+import pytest
 import numpy as np
 
 from canu_tpu.ops.align import verify_overlaps
@@ -30,6 +31,7 @@ def _make_pile(seed=0, n=10, L=2000, err_pos=None):
     return rs, g, spans
 
 
+@pytest.mark.slow
 def test_red_finds_planted_errors():
     err_pos = [200, 900, 1500]
     rs, g, spans = _make_pile(err_pos=err_pos)
@@ -53,6 +55,7 @@ def test_red_finds_planted_errors():
     assert hits >= 2
 
 
+@pytest.mark.slow
 def test_oea_lowers_erates():
     err_pos = list(range(100, 1900, 50))  # 36 errors ~ 1.8% erate on read 1
     rs, g, spans = _make_pile(err_pos=err_pos)

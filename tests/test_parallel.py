@@ -89,3 +89,34 @@ def test_sharded_kmer_count_all_to_all():
     # histogram (bins >= 1) matches the reference count-of-counts
     ref_hist = np.bincount(np.minimum(ref_c, 64), minlength=65)
     np.testing.assert_array_equal(np.asarray(hist)[1:], ref_hist[1:])
+
+
+def test_ring_candidates_match_single_device():
+    """sharded_find_candidates must produce the SAME pair set as the
+    single-device block x block pass (half-ring dedup correctness)."""
+    import numpy as np
+    from canu_tpu.ops import kmer as K, minhash as MH
+    from canu_tpu.parallel.shard_overlap import (
+        sharded_count_readset, sharded_find_candidates,
+    )
+    from canu_tpu.sim.simulate import random_genome, simulate_reads
+
+    g = random_genome(20_000, seed=70)
+    rs, _ = simulate_reads(
+        g, coverage=6, mean_len=1200, min_len=700, error_rate=0.08, seed=71,
+        circular=False,
+    )
+    kc = K.count_readset_device(rs, k=16, block_size=64)
+    fk = K.frequent_kmers(kc, distinct_fraction=0.9995)
+    sk = MH.build_sketches(rs, k=16, n_hashes=256, frequent=fk, block_size=64)
+
+    single = MH.find_candidates(sk, min_matches=2, block_size=32)
+    ring = sharded_find_candidates(sk, min_matches=2)
+    assert len(ring) == len(single), (len(ring), len(single))
+    np.testing.assert_array_equal(ring, single)
+
+    # distributed meryl parity: same distinct k-mers and counts
+    kc2 = sharded_count_readset(rs, k=16)
+    host = kc.to_host()
+    np.testing.assert_array_equal(kc2.unique, host.unique)
+    np.testing.assert_array_equal(kc2.counts, host.counts)

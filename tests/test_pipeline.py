@@ -82,6 +82,7 @@ def test_cli_requires_genome_size(tmp_path, sim_reads):
     assert "genomeSize" in r.stderr
 
 
+@pytest.mark.slow
 def test_full_pipeline_raw_to_contigs(tmp_path, sim_reads):
     raw, genome = sim_reads
     wd = str(tmp_path / "asm")

@@ -1,5 +1,6 @@
 """Contig polish: mosaic (read-level error) -> plurality-polished."""
 
+import pytest
 import numpy as np
 
 from canu_tpu.ops.consensus import polish_tig, quick_mosaic
@@ -10,6 +11,7 @@ from canu_tpu.sim.simulate import random_genome, simulate_reads
 from canu_tpu.utils import bitpack
 
 
+@pytest.mark.slow
 def test_polish_improves_identity():
     from tests.test_assembly_slice import compute_overlaps, identity_vs_genome
 

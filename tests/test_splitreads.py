@@ -8,6 +8,7 @@ confirms a junction inside the artifact reads, and (c) partial-overlap
 mode still yields the good-arm evidence that trimming needs.
 """
 
+import pytest
 import numpy as np
 
 from canu_tpu.ops import align as AL
@@ -53,6 +54,7 @@ def _overlap_store(rs, palindromic_min=3):
     return OverlapStore.build(ov, rs.n_reads)
 
 
+@pytest.mark.slow
 def test_palindromic_pairs_emit_both_orientations():
     rs, junctions = _make_reads()
     st = _overlap_store(rs)

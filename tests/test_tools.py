@@ -78,6 +78,7 @@ def test_store_dump_roundtrip(sim_files, tmp_path):
     assert recs[0].seq == rs.get_seq(1)
 
 
+@pytest.mark.slow
 def test_ov_import_stats_dump(tmp_path):
     store = str(tmp_path / "ovl")
     r = run_tool(["ov-import", "-random", "500", "-nreads", "100", "-o", store])
@@ -110,6 +111,7 @@ def test_kmer_count_tool(sim_files):
     assert "frequent_threshold" in st
 
 
+@pytest.mark.slow
 def test_bogus_tool(sim_files, tmp_path):
     d, reads, genome, truth = sim_files
     # assembly == the genome itself: perfect verdict
@@ -154,6 +156,7 @@ def test_tig_dump_and_display(tmp_path):
     assert "read        3" in r.stdout and "<--" in r.stdout
 
 
+@pytest.mark.slow
 def test_kmer_db_and_ops(sim_files, tmp_path):
     d, reads, genome, truth = sim_files
     db1 = str(tmp_path / "a.npz")

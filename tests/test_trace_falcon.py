@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -54,6 +55,33 @@ def test_positions_edits_match_bruteforce():
         assert (np.diff(js) >= 0).all()
 
 
+def test_positions_lean_matches_bruteforce():
+    """align_positions_lean: exact edits + pinned monotone positions."""
+    from canu_tpu.ops.trace import align_positions_lean
+
+    rng = np.random.default_rng(3)
+    for trial in range(4):
+        t = rng.integers(0, 4, int(rng.integers(80, 200))).astype(np.uint8)
+        e = mutate_read(t, 0.15, rng)
+        n_rows = 256
+        ta = np.zeros((2, n_rows), np.uint8); ta[0, : len(t)] = t
+        ea = np.zeros((2, n_rows + 128), np.uint8); ea[0, : len(e)] = e
+        # row 1 is a zero-length pad row (the engine's padding contract)
+        js, ed = align_positions_lean(
+            jnp.asarray(ta), jnp.asarray(np.array([len(t), 0], np.int32)),
+            jnp.asarray(ea), jnp.asarray(np.array([len(e), 0], np.int32)),
+            128, n_rows,
+        )
+        js = np.asarray(js)
+        assert int(ed[0]) == brute_global(t, e), trial
+        # trailing-insertion cost ties can leave the endpoint a base or
+        # two short of e_len (no vote impact); require near-pinning
+        assert js[0, 0] == 0 and js[0, len(t)] >= len(e) - 2
+        assert (np.diff(js[0, : len(t) + 1]) >= 0).all()
+        assert (js[1] == 0).all()
+
+
+@pytest.mark.slow
 def test_correct_reads_end_to_end():
     """Raw 10%-error reads -> corrected reads at >=99% identity."""
     from canu_tpu.ops import kmer as K, minhash as MH, align as AL
