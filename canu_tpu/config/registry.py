@@ -95,7 +95,7 @@ class Config:
         self._reg_tagged("ovlErrorRate", {"cor": 0.30, "obt": 0.12, "utg": 0.12}, float,
                          "overlap erate gate for this phase")
         self._reg_tagged("merSize", {"cor": 16, "obt": 16, "utg": 16}, int,
-                         "k-mer size (device kernels support <= 16)")
+                         "k-mer size (device kernels support <= 32)")
         self._reg_tagged("mhapSensitivity", {"cor": "auto", "obt": "normal", "utg": "normal"}, str,
                          "sketch sensitivity preset: low|normal|high|auto")
         self._reg_tagged("bandWidth", {"cor": 256, "obt": 128, "utg": 128}, int,
@@ -107,10 +107,15 @@ class Config:
 
         self._reg("cnsPolish", True, _bool, "plurality-polish contig consensus with tig reads")
         self._reg("cnsMinCoverage", 2, int, "min read coverage for a polished consensus call")
+        self._reg("cnsPolishRounds", 3, int, "max consensus repileup rounds (abAbacus mergeRefine role)")
         self._reg("corOutCoverage", 40, int, "target coverage of corrected reads to output")
         self._reg("corMaxEvidenceCoverage", 40, int, "cap on evidence reads per corrected read")
         self._reg("corMinEvidenceLength", 0, int, "min evidence overlap length for correction")
         self._reg("trimMinCoverage", 2, int, "min overlap coverage to keep read bases in trimming")
+        self._reg("qvTrim", True, _bool, "QV clear ranges at gatekeeper for FASTQ inputs (trimReads-quality role)")
+        self._reg("qvTrimMinQuality", 7.0, float, "QV trim: min windowed mean phred quality")
+        self._reg("qvTrimWindow", 100, int, "QV trim: sliding window length (bases)")
+        self._reg("qvEvidenceWeight", True, _bool, "weight correction votes by evidence read mean QV (tie-break)")
         self._reg("contigFilterMinReads", 2, int, "tigs with fewer reads are unassembled")
         self._reg("enableOEA", True, _bool, "overlap error adjustment: RED read-error voting + OEA erate recompute")
         self._reg("oeaMinAltVotes", 4, int, "RED: min evidence votes for an alternative base to call an error")

@@ -49,6 +49,9 @@ def quick_mosaic(readset: ReadSet, tig: Tig) -> np.ndarray:
     return np.concatenate(out)
 
 
+_POLISH_SEG = 4096  # backbone segment length (device template rows)
+
+
 def polish_tig(
     readset: ReadSet,
     tig: Tig,
@@ -56,44 +59,185 @@ def polish_tig(
     band: int = 256,
     min_cov: int = 2,
     slack: int = 100,
-    batch: int = 64,
+    batch: int = 0,  # unused (votepile sizes its own chunks)
     max_coverage: int = 40,
+    rounds: int = 3,
 ) -> np.ndarray:
-    """Plurality-polish a mosaic backbone with the tig's own reads.
+    """Iteratively plurality-polish a mosaic backbone with the tig's reads.
 
-    The pbdagcon/abAbacus role of the reference consensus
+    The pbdagcon + mergeRefine role of the reference consensus
     (/root/reference/src/utgcns/utgcns.C generatePBDAG: reads aligned to
-    a backbone, per-column consensus): each placed read aligns to its
-    backbone window (placement +- slack); votes accumulate on backbone
-    coordinates; plurality calls fall back to the backbone base where
-    coverage < min_cov.
+    a backbone with edlib, per-column consensus;
+    /root/reference/src/utgcns/libcns/abAbacus-refine.C: iterate until
+    the sequence stops changing).  TPU design: the backbone is cut into
+    fixed-length segments that become template rows of the vote-pile
+    engine; every placed read votes into each segment it overlaps via
+    ends-free (HW) banded alignment — placements are hang-estimates, so
+    evidence windows carry slack that must not be force-fitted.  After
+    each round the called edits are applied, placements are remapped
+    through the per-segment length changes, and the pile re-runs until
+    the edit count dies out (or `rounds` is hit).
     """
-    from .votepile import _pow2_at_least
-    from .voting import VoteArrays, plurality_call, run_alignment_batches
+    from .votepile import device_words
+
+    e_words, e_len_d = device_words(readset)
+    bgn = tig.bgn.astype(np.int64).copy()
+    end = tig.end.astype(np.int64).copy()
+    for _ in range(max(1, rounds)):
+        backbone, bgn, end, n_edits = _polish_round(
+            readset, e_words, e_len_d, tig, backbone, bgn, end,
+            band=band, min_cov=min_cov, slack=slack,
+            max_coverage=max_coverage,
+        )
+        if n_edits <= max(0, len(backbone) // 100_000):
+            break
+    return backbone
+
+
+def _polish_round(
+    readset: ReadSet,
+    e_words, e_len_d,
+    tig: Tig,
+    backbone: np.ndarray,
+    bgn: np.ndarray,
+    end: np.ndarray,
+    band: int,
+    min_cov: int,
+    slack: int,
+    max_coverage: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """One repileup: segment the backbone, vote, apply edits, remap."""
+    import jax.numpy as jnp
+
+    from .votepile import (
+        BLOCK_POS_BUDGET,
+        VoteJobs,
+        _finalize_plurality,
+        _pow2_at_least,
+        decode_pieces,
+        pile_votes,
+    )
 
     B_len = len(backbone)
-    jobs: list[tuple] = []
-    max_win = 256
-    # evidence cap (stashContains equivalent, /root/reference/src/utgcns/
-    # stashContains.C): longest reads first, skip a read whose whole span
-    # is already covered max_coverage deep
-    order = np.argsort(-(tig.end - tig.bgn), kind="stable")
+    S = _POLISH_SEG
+    if B_len == 0:
+        return backbone, bgn, end, 0
+
+    # stashContains (reference /root/reference/src/utgcns/stashContains.C):
+    # longest placements first, skip reads whose span is already covered
+    # max_coverage deep
+    order = np.argsort(-(end - bgn), kind="stable")
     depth = np.zeros(B_len + 1, np.int32)
+    keep_rows = []
     for i in order:
-        codes = oriented_codes(readset, int(tig.read_id[i]), bool(tig.rev[i]))
-        lo = max(0, int(tig.bgn[i]) - slack)
-        hi = min(B_len, int(tig.end[i]) + slack)
+        lo = int(max(0, bgn[i]))
+        hi = int(min(B_len, end[i]))
         if hi - lo < 100:
             continue
         if depth[lo:hi].min() >= max_coverage:
             continue
         depth[lo:hi] += 1
-        jobs.append((0, lo, backbone[lo:hi], codes))
-        max_win = max(max_win, hi - lo)
-    votes_of = {0: VoteArrays.zeros(B_len)}
-    n_rows = _pow2_at_least(max_win)
-    run_alignment_batches(jobs, votes_of, band, n_rows, batch)
-    seq, _cov = plurality_call(
-        votes_of[0], backbone, min_cov, keep_template_where_unsupported=True
+        keep_rows.append(i)
+    if not keep_rows:
+        return backbone, bgn, end, 0
+    rows = np.array(keep_rows, np.int64)
+    lo = np.clip(bgn[rows], 0, B_len)
+    hi = np.clip(end[rows], 0, B_len)
+    rid = tig.read_id[rows].astype(np.int64)
+    rev = tig.rev[rows].astype(bool)
+    ln = readset.length[rid - 1].astype(np.int64)
+
+    # fan each read out to the segments it overlaps (columnar)
+    j0 = lo // S
+    j1 = np.maximum(lo, hi - 1) // S
+    counts = (j1 - j0 + 1).astype(np.int64)
+    job_read = np.repeat(np.arange(len(rows)), counts)
+    js = (np.repeat(j0, counts)
+          + (np.arange(len(job_read)) - np.repeat(np.cumsum(counts) - counts,
+                                                  counts)))
+    s0 = js * S
+    s1 = np.minimum(s0 + S, B_len)
+    rlo, rhi = lo[job_read], hi[job_read]
+    rln = ln[job_read]
+    # window edges: at a read's own end, pull the template in by `slack`
+    # (placement error must not force template past the actual read);
+    # at a segment-interior edge, extend the EVIDENCE by `slack` instead
+    rstart = rlo >= s0
+    rend = rhi <= s1
+    t_ab = np.where(rstart, np.minimum(rlo + slack, s1), s0)
+    t_ae = np.where(rend, np.maximum(rhi - slack, t_ab), s1)
+    e_b = np.clip(np.where(rstart, 0, t_ab - rlo - slack), 0, rln)
+    e_e = np.clip(np.where(rend, rln, t_ae - rlo + slack), 0, rln)
+    t_span = t_ae - t_ab
+    e_span = e_e - e_b
+    ok = (t_span >= 64) & (e_span >= np.maximum(64, t_span // 2))
+    job_read, js = job_read[ok], js[ok]
+    t_ab, t_span = t_ab[ok], t_span[ok]
+    e_b, e_span = e_b[ok], e_span[ok]
+
+    # template plane: the segments themselves
+    n_seg = (B_len + S - 1) // S
+    seg_codes = [backbone[j * S : min((j + 1) * S, B_len)] for j in range(n_seg)]
+    from .votepile import device_words
+
+    tmp_rs = ReadSet.from_codes_list(seg_codes)
+    t_words, t_len_d = device_words(tmp_rs)
+    pad_row = tmp_rs.n_reads
+
+    Lt = _pow2_at_least(S)
+    G = max(8, min(256, BLOCK_POS_BUDGET // Lt))
+    new_segs: list[np.ndarray] = [None] * n_seg  # type: ignore[list-item]
+    n_edits = 0
+    order_j = np.argsort(js, kind="stable")
+    bounds = np.searchsorted(js[order_j], np.arange(0, n_seg + G, G))
+    for bi, blk0 in enumerate(range(0, n_seg, G)):
+        blk1 = min(blk0 + G, n_seg)
+        take = order_j[bounds[bi] : bounds[bi + 1]]
+        jobs = VoteJobs(
+            t_idx=js[take].astype(np.int32),
+            e_idx=(rid[job_read[take]] - 1).astype(np.int32),
+            t_bgn=(t_ab[take] - js[take] * S).astype(np.int32),
+            t_span=t_span[take].astype(np.int32),
+            # e_b is already ORIENTED (0 = the base placed at bgn), which
+            # is exactly votepile's e_lo convention for both orientations
+            e_lo=e_b[take].astype(np.int32),
+            e_span=e_span[take].astype(np.int32),
+            flipped=rev[job_read[take]],
+            slot=(js[take] - blk0).astype(np.int32),
+        )
+        votes = pile_votes(t_words, t_len_d, e_words, e_len_d, jobs, G, Lt,
+                           band=band, ends_free=True)
+        t_idx_block = np.full(G, pad_row, np.int32)
+        t_idx_block[: blk1 - blk0] = np.arange(blk0, blk1, dtype=np.int32)
+        packed, _cov = _finalize_plurality(
+            t_words, t_len_d, jnp.asarray(t_idx_block), votes,
+            float(min_cov), Lt, True,
+        )
+        packed = np.asarray(packed)
+        for g, j in enumerate(range(blk0, blk1)):
+            seg_len = len(seg_codes[j])
+            row = packed[g, :seg_len]
+            pieces = decode_pieces(row)
+            new_seg = (
+                pieces[0][1] if pieces else seg_codes[j]
+            )
+            sub = int(np.sum((row & 3) != seg_codes[j]))
+            indel = int(np.sum(((row >> 5) & 3) != 0))  # delete/insert flags
+            n_edits += sub + indel
+            new_segs[j] = new_seg
+
+    new_lens = np.array([len(s) for s in new_segs], np.int64)
+    new_off = np.zeros(n_seg + 1, np.int64)
+    np.cumsum(new_lens, out=new_off[1:])
+    new_backbone = (
+        np.concatenate(new_segs) if n_seg else np.zeros(0, np.uint8)
     )
-    return seq
+
+    def remap(pos: np.ndarray) -> np.ndarray:
+        p = np.clip(pos, 0, B_len)
+        j = np.minimum(p // S, n_seg - 1)
+        old_len = np.minimum((j + 1) * S, B_len) - j * S
+        frac = (p - j * S) / np.maximum(old_len, 1)
+        return (new_off[j] + np.round(frac * new_lens[j])).astype(np.int64)
+
+    return new_backbone, remap(bgn), remap(end), n_edits

@@ -89,9 +89,16 @@ def select_evidence_rows(
 
 
 def evidence_vote_jobs(
-    st: OverlapStore, rows: np.ndarray, lengths: np.ndarray
+    st: OverlapStore, rows: np.ndarray, lengths: np.ndarray,
+    mean_qv: np.ndarray | None = None,
 ) -> VoteJobs:
-    """Store rows -> columnar device vote jobs (oriented evidence coords)."""
+    """Store rows -> columnar device vote jobs (oriented evidence coords).
+
+    When per-read mean QVs are given (raw FASTQ input), each evidence
+    job's votes are weighted 1 + meanQV/256 — a quality tie-break at
+    ~1-phred granularity (the reference's falconsense tag weights,
+    /root/reference/src/correction/falconConsensus-alignTag.C, are
+    uniform; QV weighting replaces the historical quality trim role)."""
     tid = st.a_id[rows]
     b_id = st.b_id[rows]
     fl = st.flipped[rows]
@@ -101,6 +108,9 @@ def evidence_vote_jobs(
     e_lo = np.where(fl, lb - st.b_end[rows], st.b_bgn[rows]).astype(np.int32)
     e_span = (st.b_end[rows] - st.b_bgn[rows]).astype(np.int32)
     keep = (e_span > 0) & (t_span > 0)
+    weight = None
+    if mean_qv is not None:
+        weight = (1.0 + mean_qv[b_id[keep] - 1] / 256.0).astype(np.float32)
     return VoteJobs(
         t_idx=(tid[keep] - 1).astype(np.int32),
         e_idx=(b_id[keep] - 1).astype(np.int32),
@@ -110,6 +120,7 @@ def evidence_vote_jobs(
         e_span=e_span[keep],
         flipped=fl[keep].astype(bool),
         slot=np.zeros(int(keep.sum()), np.int32),  # filled per block
+        weight=weight,
     )
 
 
@@ -163,6 +174,7 @@ def run_vote_blocks(
             e_span=jobs.e_span[take],
             flipped=jobs.flipped[take],
             slot=slot_of[jobs.t_idx[take] + 1],
+            weight=None if jobs.weight is None else jobs.weight[take],
         )
         votes = pile_votes(words_d, len_d, words_d, len_d, block_jobs, G, Lt,
                            band=band)
@@ -183,13 +195,15 @@ def correct_reads(
     min_cov: int = 4,
     min_piece: int = 1000,
     batch: int = 0,  # unused (device engine sizes its own chunks)
+    qv_weight: bool = True,
 ) -> Iterator[tuple[str, str]]:
     """Yield (name, corrected_sequence) for selected templates."""
     template_ids = select_templates(rs, genome_size, out_coverage)
     rows = select_evidence_rows(
         st, template_ids, rs.length, max_evidence_coverage, min_evidence_length
     )
-    jobs = evidence_vote_jobs(st, rows, rs.length)
+    mean_qv = rs.mean_quals() if (qv_weight and rs.has_quals) else None
+    jobs = evidence_vote_jobs(st, rows, rs.length, mean_qv=mean_qv)
     # only templates with any evidence produce output (falcon-sense skips
     # evidence-free reads); piles for the rest would be all-unsupported
     has_ev = np.zeros(rs.n_reads + 1, bool)

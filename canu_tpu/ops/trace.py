@@ -163,7 +163,7 @@ def align_positions(
     return j_star, edits
 
 
-@partial(jax.jit, static_argnames=("band", "n_rows"))
+@partial(jax.jit, static_argnames=("band", "n_rows", "ends_free"))
 def align_positions_lean(
     t: jax.Array,  # uint8[B, >=n_rows] template chars (row 0 = first char)
     t_len: jax.Array,  # int32[B]
@@ -171,8 +171,16 @@ def align_positions_lean(
     e_len: jax.Array,  # int32[B]
     band: int,
     n_rows: int,
+    ends_free: bool = False,
 ):
     """Memory-lean variant of align_positions for the device vote engine.
+
+    ``ends_free=True`` makes evidence start/end gaps cost 0 (edlib HW
+    mode: the template window aligns as an infix of the evidence
+    window).  Consensus polish uses this — tig placements are
+    hang-estimates, so evidence windows carry slack that must not be
+    force-fitted; correction keeps both ends pinned (its windows come
+    from verified overlap coordinates).
 
     Three changes versus align_positions:
 
@@ -203,7 +211,8 @@ def align_positions_lean(
     # ---- forward, emitting (uint8 normalized row, int32 row min) ----
     o0 = o_all[:, 0:1]
     j0 = o0 + w_ramp
-    F0 = jnp.where(j0 <= e_len[:, None], j0, INF16)
+    F0 = jnp.where(j0 <= e_len[:, None],
+                   jnp.zeros_like(j0) if ends_free else j0, INF16)
 
     def norm(F):
         fmin = jnp.min(F, axis=1)
@@ -245,7 +254,8 @@ def align_positions_lean(
     # ---- backward with fused combine ----
     def g_boundary(i_arr, o_i):
         j = o_i[:, None] + w_ramp
-        return jnp.where(j <= e_len[:, None], e_len[:, None] - j, INF16)
+        tail = jnp.zeros_like(j) if ends_free else e_len[:, None] - j
+        return jnp.where(j <= e_len[:, None], tail, INF16)
 
     G_top = g_boundary(None, o_all[:, n_rows])
     G_top = jnp.where((t_len == n_rows)[:, None], G_top, INF16)
@@ -288,7 +298,8 @@ def align_positions_lean(
         sm = jax.lax.associative_scan(jnp.minimum, rev, axis=1)
         G = jnp.minimum(jnp.flip(sm, axis=1) - w_ramp, INF16)
         G = jnp.where((j <= e_len[:, None]) & (j >= 0), G, INF16)
-        bound = jnp.where(j <= e_len[:, None], e_len[:, None] - j, INF16)
+        tail = jnp.zeros_like(j) if ends_free else e_len[:, None] - j
+        bound = jnp.where(j <= e_len[:, None], tail, INF16)
         G = jnp.where((i == t_len)[:, None], bound, G)
         G = jnp.where((i > t_len)[:, None], INF16, G)
         j_i, row_min = combine(i, o_i, G)

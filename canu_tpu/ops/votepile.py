@@ -40,22 +40,31 @@ import numpy as np
 from .kmer import unpack_bases
 from .trace import align_positions_lean
 
-# packed result bit layout (both plurality and RED modes)
+# packed result bit layout (uint16; plurality mode — RED packs uint8)
 #   bits 0-1: called base (plurality) / alt base (RED)
-#   bits 2-3: insertion base call (plurality) / bit2 = fix flag (RED)
-#   bit 4: supported, bit 5: delete, bit 6: insert-after
+#   bits 2-3: first insertion base call (plurality) / bit2 = fix flag (RED)
+#   bit 4: supported, bit 5: delete, bit 6: insert (before the base)
+#   bit 7: second insertion, bits 8-9: second insertion base call
 PB_CALL = 0
 PB_INS_CALL = 2
 PB_SUPPORTED = 4
 PB_DELETE = 5
 PB_INSERT = 6
+PB_INSERT2 = 7
+PB_INS2_CALL = 8
 
-# vote channel layout along axis 1 of the [G, 10, Lt] accumulator
+# vote channel layout along axis 1 of the [G, 15, Lt] accumulator.
+# Two insertion slots per template column (the reference's alignTag MSA
+# supports arbitrary insert runs, falconConsensus-alignTag.C; two per
+# column per round covers the overwhelming mass of long-read indels, and
+# iterative repileup absorbs the tail)
 CH_BASE = 0  # ..3
 CH_DEL = 4
 CH_INS = 5
 CH_INSBASE = 6  # ..9
-N_CH = 10
+CH_INS2 = 10
+CH_INS2BASE = 11  # ..14
+N_CH = 15
 
 
 def _shift_rows_left(x: jax.Array, t: jax.Array, out_len: int) -> jax.Array:
@@ -113,7 +122,7 @@ def _gather_window(words: jax.Array, lengths: jax.Array, idx: jax.Array,
     return _shift_rows_left(raw, bgn, out_len)
 
 
-@partial(jax.jit, static_argnames=("band", "n_rows", "Lt", "G"),
+@partial(jax.jit, static_argnames=("band", "n_rows", "Lt", "G", "ends_free"),
          donate_argnums=(0,))
 def _vote_chunk(
     votes: jax.Array,  # f32[G, 10, Lt] accumulator (donated)
@@ -124,7 +133,9 @@ def _vote_chunk(
     e_lo: jax.Array, e_span: jax.Array,  # int32[B] oriented evidence window
     flipped: jax.Array,  # bool[B]
     slot: jax.Array,  # int32[B] template slot in the block
+    weight: jax.Array,  # f32[B] per-job vote weight (QV tie-break)
     band: int, n_rows: int, Lt: int, G: int,
+    ends_free: bool = False,
 ) -> jax.Array:
     """Align one chunk of evidence windows and fold votes into the block."""
     B = t_idx.shape[0]
@@ -133,7 +144,8 @@ def _vote_chunk(
     e_sub = _gather_window(e_words, e_lengths, e_idx, e_lo, flipped, W_e)
     e_span = jnp.minimum(e_span, W_e - 1)
 
-    js, _ = align_positions_lean(t_sub, t_span, e_sub, e_span, band, n_rows)
+    js, _ = align_positions_lean(t_sub, t_span, e_sub, e_span, band, n_rows,
+                                 ends_free=ends_free)
 
     dj = js[:, 1:] - js[:, :-1]  # [B, n_rows]
     rowpos = jnp.arange(n_rows, dtype=jnp.int32)[None, :]
@@ -143,19 +155,24 @@ def _vote_chunk(
     bchr = jnp.take_along_axis(e_sub, bidx, axis=1)
     iidx = jnp.clip(js[:, :-1], 0, W_e - 1)
     ichr = jnp.take_along_axis(e_sub, iidx, axis=1)
+    i2idx = jnp.clip(js[:, :-1] + 1, 0, W_e - 1)
+    i2chr = jnp.take_along_axis(e_sub, i2idx, axis=1)
     m_base = active & (dj >= 1)
     m_del = active & (dj == 0)
     m_ins = active & (dj >= 2)
+    m_ins2 = active & (dj >= 3)
 
-    # pack each position's vote into one byte, shift THAT to template
-    # coordinates (one log-round pass instead of ten), then expand to the
-    # channel one-hots at full width
+    # pack each position's vote into one uint16, shift THAT to template
+    # coordinates (one log-round pass instead of fifteen), then expand to
+    # the channel one-hots at full width
     code = (
-        bchr
-        | (ichr << 2)
-        | (m_base.astype(jnp.uint8) << 4)
-        | (m_del.astype(jnp.uint8) << 5)
-        | (m_ins.astype(jnp.uint8) << 6)
+        bchr.astype(jnp.uint16)
+        | (ichr.astype(jnp.uint16) << 2)
+        | (m_base.astype(jnp.uint16) << 4)
+        | (m_del.astype(jnp.uint16) << 5)
+        | (m_ins.astype(jnp.uint16) << 6)
+        | (m_ins2.astype(jnp.uint16) << 7)
+        | (i2chr.astype(jnp.uint16) << 8)
     )
     code = _shift_rows_right(code, t_bgn, Lt)  # [B, Lt]
     cb = code & 3
@@ -163,15 +180,21 @@ def _vote_chunk(
     has_b = (code >> 4) & 1
     has_d = (code >> 5) & 1
     has_i = (code >> 6) & 1
+    has_i2 = (code >> 7) & 1
+    ci2 = (code >> 8) & 3
     chans = [(has_b == 1) & (cb == c) for c in range(4)]
     chans.append(has_d == 1)
     chans.append(has_i == 1)
     chans += [(has_i == 1) & (ci == c) for c in range(4)]
-    contrib = jnp.stack(chans, axis=1).astype(jnp.bfloat16)  # [B, 10, Lt]
+    chans.append(has_i2 == 1)
+    chans += [(has_i2 == 1) & (ci2 == c) for c in range(4)]
+    contrib = jnp.stack(chans, axis=1).astype(jnp.bfloat16)  # [B, 15, Lt]
     contrib = contrib.reshape(B, N_CH * Lt)
+    # weight scales this job's whole contribution (evidence-quality
+    # tie-break; ~1-phred granularity survives the bfloat16 cast)
     onehot = (slot[:, None] == jnp.arange(G, dtype=jnp.int32)[None, :]).astype(
         jnp.bfloat16
-    )
+    ) * weight[:, None].astype(jnp.bfloat16)
     delta = jnp.einsum(
         "bg,bn->gn", onehot, contrib, preferred_element_type=jnp.float32
     )
@@ -207,21 +230,29 @@ def _finalize_plurality(
     cov = jnp.sum(bv, axis=1) + votes[:, CH_DEL, :]
     call = jnp.argmax(bv, axis=1).astype(jnp.uint8)
     delete = votes[:, CH_DEL, :] * 2 > cov
-    insert_after = votes[:, CH_INS, :] * 2 > jnp.maximum(cov, 1.0)
+    insert_before = votes[:, CH_INS, :] * 2 > jnp.maximum(cov, 1.0)
     ins_call = jnp.argmax(votes[:, CH_INSBASE : CH_INSBASE + 4, :], axis=1
-                          ).astype(jnp.uint8)
+                          ).astype(jnp.uint16)
+    insert2 = insert_before & (
+        votes[:, CH_INS2, :] * 2 > jnp.maximum(cov, 1.0)
+    )
+    ins2_call = jnp.argmax(votes[:, CH_INS2BASE : CH_INS2BASE + 4, :], axis=1
+                           ).astype(jnp.uint16)
     supported = (cov >= min_cov) & pos_live
     if keep_template:
         call = jnp.where(supported, call, t_codes)
         delete = delete & supported
-        insert_after = insert_after & supported
+        insert_before = insert_before & supported
+        insert2 = insert2 & supported
         supported = pos_live
     packed = (
-        call
+        call.astype(jnp.uint16)
         | (ins_call << PB_INS_CALL)
-        | (supported.astype(jnp.uint8) << PB_SUPPORTED)
-        | (delete.astype(jnp.uint8) << PB_DELETE)
-        | (insert_after.astype(jnp.uint8) << PB_INSERT)
+        | (supported.astype(jnp.uint16) << PB_SUPPORTED)
+        | (delete.astype(jnp.uint16) << PB_DELETE)
+        | (insert_before.astype(jnp.uint16) << PB_INSERT)
+        | (insert2.astype(jnp.uint16) << PB_INSERT2)
+        | (ins2_call << PB_INS2_CALL)
     )
     return packed, cov
 
@@ -269,17 +300,27 @@ class VoteJobs:
     e_span: np.ndarray
     flipped: np.ndarray
     slot: np.ndarray
+    # optional per-job vote weight (evidence quality tie-break); None = 1.0
+    weight: np.ndarray | None = None
 
     def __len__(self):
         return len(self.t_idx)
 
+    def weights(self) -> np.ndarray:
+        if self.weight is None:
+            return np.ones(len(self), np.float32)
+        return self.weight
+
     @classmethod
     def concat(cls, parts):
-        return cls(**{
+        out = cls(**{
             f: np.concatenate([getattr(p, f) for p in parts])
             for f in ("t_idx", "e_idx", "t_bgn", "t_span", "e_lo", "e_span",
                       "flipped", "slot")
         })
+        if any(p.weight is not None for p in parts):
+            out.weight = np.concatenate([p.weights() for p in parts])
+        return out
 
 
 def _pow2_at_least(x: int) -> int:
@@ -302,6 +343,7 @@ def block_geometry(max_t_len: int) -> tuple[int, int]:
 def pile_votes(
     t_words, t_lengths, e_words, e_lengths,
     jobs: VoteJobs, G: int, Lt: int, band: int | None = None,
+    ends_free: bool = False,
 ) -> jax.Array:
     """Run all evidence jobs of one template block; returns device votes
     f32[G, 10, Lt].  Jobs are processed longest-template-window first in
@@ -311,6 +353,8 @@ def pile_votes(
     n = len(jobs)
     if n == 0:
         return votes
+    if jobs.weight is None:
+        jobs.weight = np.ones(n, np.float32)
     order = np.argsort(-jobs.t_span, kind="stable")
     pos = 0
     while pos < n:
@@ -335,31 +379,50 @@ def pile_votes(
             col("t_idx"), col("e_idx"),
             col("t_bgn"), col("t_span"),  # pad rows have t_span=0: no votes
             col("e_lo"), col("e_span"),
-            col("flipped", pad=False), col("slot"),
-            band_c, n_rows, Lt, G,
+            col("flipped", pad=False), col("slot"), col("weight", pad=0),
+            band_c, n_rows, Lt, G, ends_free,
         )
     return votes
 
 
 def decode_pieces(row: np.ndarray):
-    """Packed uint8 row -> list of (start_pos, piece_codes) over supported
+    """Packed uint16 row -> list of (start_pos, piece_codes) over supported
     runs (falcon-sense low-coverage splitting)."""
-    from .voting import _interleave
-
     supported = (row >> PB_SUPPORTED) & 1
     call = row & 3
     delete = ((row >> PB_DELETE) & 1).astype(bool)
     ins = ((row >> PB_INSERT) & 1).astype(bool)
     ins_call = (row >> PB_INS_CALL) & 3
+    ins2 = ((row >> PB_INSERT2) & 1).astype(bool) & ins
+    ins2_call = (row >> PB_INS2_CALL) & 3
     padded = np.concatenate([[0], supported, [0]])
     starts = np.flatnonzero((padded[:-1] == 0) & (padded[1:] == 1))
     ends = np.flatnonzero((padded[:-1] == 1) & (padded[1:] == 0))
     out = []
     for b, e in zip(starts, ends):
         idx = np.arange(b, e)
-        seq = _interleave(call[idx].astype(np.uint8), ~delete[idx],
-                          ins[idx], ins_call[idx].astype(np.uint8))
+        seq = _interleave2(
+            call[idx].astype(np.uint8), ~delete[idx],
+            ins[idx], ins_call[idx].astype(np.uint8),
+            ins2[idx], ins2_call[idx].astype(np.uint8),
+        )
         out.append((int(b), seq))
+    return out
+
+
+def _interleave2(bases, keep, ins, ins_call, ins2, ins2_call) -> np.ndarray:
+    """Emit [ins1?][ins2?][base?] per position, vectorized (the evidence
+    order: inserted chars precede the matched base)."""
+    contrib = ins.astype(np.int64) + ins2.astype(np.int64) + keep.astype(np.int64)
+    off = np.zeros(len(bases) + 1, np.int64)
+    np.cumsum(contrib, out=off[1:])
+    out = np.empty(int(off[-1]), np.uint8)
+    ii = np.flatnonzero(ins)
+    out[off[ii]] = ins_call[ii]
+    jj = np.flatnonzero(ins2)
+    out[off[jj] + 1] = ins2_call[jj]
+    kk = np.flatnonzero(keep)
+    out[off[kk] + ins[kk] + ins2[kk]] = bases[kk]
     return out
 
 

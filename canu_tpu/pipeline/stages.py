@@ -49,9 +49,34 @@ def gatekeeper(ctx: AssemblyCtx, tag: str, inputs: list[str]) -> ReadSet:
         return os.path.isdir(store)
 
     def fn() -> None:
-        rs, stats = ReadSet.from_fastx(inputs, min_read_length=int(ctx.cfg.get("minReadLength")))
+        min_len = int(ctx.cfg.get("minReadLength"))
+        rs, stats = ReadSet.from_fastx(inputs, min_read_length=min_len)
         if rs.n_reads == 0:
             raise RuntimeError(f"gatekeeper[{tag}]: no reads loaded from {inputs}")
+        qv_line = ""
+        if rs.has_quals:
+            from ..utils.quality import quality_clear_ranges, read_quality_histogram
+
+            qhist = read_quality_histogram(rs.mean_quals())
+            qv_line = f"\nmean-QV histogram (bin 2): {qhist.tolist()}"
+            if bool(ctx.cfg.get("qvTrim")):
+                # initial QV clear ranges (trimReads-quality role) applied
+                # before any overlap work, like the reference's initial
+                # clear at store build
+                b, e = quality_clear_ranges(
+                    rs.length, rs.quals, rs.qual_off,
+                    min_qv=float(ctx.cfg.get("qvTrimMinQuality")),
+                    window=int(ctx.cfg.get("qvTrimWindow")),
+                )
+                n_trim = int(np.sum((b > 0) | (e < rs.length)))
+                if n_trim:
+                    before = rs.n_reads
+                    keep = (e - b) >= min_len
+                    rs = rs.sliced(np.where(keep, b, 0), np.where(keep, e, 0))
+                    qv_line += (
+                        f"\nQV trim: {n_trim} reads trimmed, "
+                        f"{before - rs.n_reads} dropped below minReadLength"
+                    )
         rs.save(store)
         hist = rs.length_histogram(1000)
         ctx.report.add(
@@ -59,7 +84,7 @@ def gatekeeper(ctx: AssemblyCtx, tag: str, inputs: list[str]) -> ReadSet:
             f"reads loaded {stats.n_loaded} / input {stats.n_input}; "
             f"bases {stats.bases_loaded}; split-at-N {stats.n_split_at_n}; "
             f"short discards {stats.n_skipped_short}\n"
-            f"length histogram (kb): {hist.tolist()}",
+            f"length histogram (kb): {hist.tolist()}" + qv_line,
         )
 
     run_stage(ctx, f"{tag}-gatekeeper", done, fn)
@@ -226,6 +251,7 @@ def correction_phase(ctx: AssemblyCtx, raw_inputs: list[str]) -> None:
             max_evidence_coverage=int(ctx.cfg.get("corMaxEvidenceCoverage")),
             min_evidence_length=int(ctx.cfg.get("corMinEvidenceLength")),
             band=int(ctx.cfg.get("corBandWidth")),
+            qv_weight=bool(ctx.cfg.get("qvEvidenceWeight")),
         )
         from ..io.fastx import write_fasta
 
@@ -432,6 +458,7 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
                     rs, t, backbone,
                     band=int(ctx.cfg.get("utgBandWidth")) * 2,
                     min_cov=int(ctx.cfg.get("cnsMinCoverage")),
+                    rounds=int(ctx.cfg.get("cnsPolishRounds")),
                 )
             else:
                 t.consensus = backbone

@@ -56,12 +56,23 @@ class ReadSet:
         names: Optional[list[str]] = None,
         source_id: Optional[np.ndarray] = None,
         source_bgn: Optional[np.ndarray] = None,
+        quals: Optional[np.ndarray] = None,
     ):
         assert words.dtype == np.uint32
         self.words = words
         self.word_off = word_off.astype(np.int64)  # [n+1] word offsets
         self.length = length.astype(np.int32)  # [n] base lengths
         self.names = names
+        # Optional quality plane: flat uint8 phred values, one per base,
+        # reads concatenated in id order (offsets = cumsum of length).
+        # The reference encodes QVs inside the gkStore blob
+        # (/root/reference/src/stores/gkStore.H:305-313); here they are a
+        # separate columnar plane so FASTA-only runs pay nothing.
+        if quals is not None:
+            quals = np.ascontiguousarray(quals, dtype=np.uint8)
+            assert quals.size == int(length.sum()), "qual plane size mismatch"
+        self.quals = quals
+        self._qual_off: Optional[np.ndarray] = None
         # Provenance: original read id (1-based, 0=none) and start offset in
         # the original read — set for trimmed/split/corrected read sets.
         n = len(length)
@@ -81,6 +92,7 @@ class ReadSet:
         names: Optional[list[str]] = None,
         source_id: Optional[np.ndarray] = None,
         source_bgn: Optional[np.ndarray] = None,
+        quals_list: Optional[Sequence[np.ndarray]] = None,
     ) -> "ReadSet":
         n = len(codes_list)
         length = np.array([len(c) for c in codes_list], dtype=np.int32)
@@ -91,7 +103,15 @@ class ReadSet:
         for i, codes in enumerate(codes_list):
             if len(codes):
                 words[word_off[i] : word_off[i] + wc[i]] = bitpack.pack_codes(codes)
-        return cls(words, word_off, length, names, source_id, source_bgn)
+        quals = None
+        if quals_list is not None:
+            assert len(quals_list) == n
+            quals = (
+                np.concatenate([np.asarray(q, np.uint8) for q in quals_list])
+                if n
+                else np.zeros(0, np.uint8)
+            )
+        return cls(words, word_off, length, names, source_id, source_bgn, quals)
 
     @classmethod
     def from_sequences(cls, seqs: Iterable[str], names: Optional[list[str]] = None) -> "ReadSet":
@@ -120,9 +140,13 @@ class ReadSet:
             paths = [paths]
         stats = ReadSetStats()
         codes_list: list[np.ndarray] = []
+        quals_list: list[np.ndarray] = []
+        any_qual = False
         names: list[str] = []
 
-        def add_record(name: str, codes: np.ndarray) -> None:
+        def add_record(name: str, codes: np.ndarray,
+                       qual: Optional[np.ndarray] = None) -> None:
+            nonlocal any_qual
             stats.n_input += 1
             frags = _split_at_invalid(codes)
             if len(frags) > 1:
@@ -132,6 +156,12 @@ class ReadSet:
                     stats.n_skipped_short += 1
                     continue
                 codes_list.append(frag)
+                if qual is not None:
+                    quals_list.append(qual[bgn : bgn + len(frag)])
+                    any_qual = True
+                else:
+                    # FASTA mixed in: neutral QV 0 = "unknown"
+                    quals_list.append(np.zeros(len(frag), np.uint8))
                 if keep_names:
                     suffix = f"_frag{fi}" if len(frags) > 1 else ""
                     names.append(name + suffix)
@@ -140,7 +170,9 @@ class ReadSet:
 
         for path in paths:
             handled = False
-            if use_native:
+            if use_native and not _is_fastq(path):
+                # native scanner is sequence-only; FASTQ goes through the
+                # Python parser so the quality plane is captured
                 from .. import native
 
                 if native.get_lib() is not None:
@@ -157,8 +189,18 @@ class ReadSet:
                 from ..io.fastx import read_fastx
 
                 for rec in read_fastx(path):
-                    add_record(rec.name, bitpack.seq_to_codes(rec.seq))
-        rs = cls.from_codes_list(codes_list, names if keep_names else None)
+                    qual = None
+                    if rec.qual is not None:
+                        qual = (
+                            np.frombuffer(rec.qual.encode("ascii"), np.uint8)
+                            - 33
+                        )
+                    add_record(rec.name, bitpack.seq_to_codes(rec.seq), qual)
+        rs = cls.from_codes_list(
+            codes_list,
+            names if keep_names else None,
+            quals_list=quals_list if any_qual else None,
+        )
         return rs, stats
 
     # ---- basic accessors ----
@@ -189,6 +231,44 @@ class ReadSet:
     def get_seq(self, read_id: int) -> str:
         return bitpack.codes_to_seq(self.get_codes(read_id))
 
+    @property
+    def has_quals(self) -> bool:
+        return self.quals is not None
+
+    @property
+    def qual_off(self) -> np.ndarray:
+        """[n+1] base offsets into the flat quality plane."""
+        if self._qual_off is None:
+            off = np.zeros(self.n_reads + 1, np.int64)
+            np.cumsum(self.length, out=off[1:])
+            self._qual_off = off
+        return self._qual_off
+
+    def get_qual(self, read_id: int) -> Optional[np.ndarray]:
+        """Phred quality values of read `read_id` (1-based), or None."""
+        if self.quals is None:
+            return None
+        i = self._check_id(read_id)
+        off = self.qual_off
+        return self.quals[off[i] : off[i + 1]]
+
+    def mean_quals(self) -> Optional[np.ndarray]:
+        """Per-read mean phred QV (float32[n]), or None if no qual plane."""
+        if self.quals is None:
+            return None
+        cached = self.__dict__.get("_mean_quals")
+        if cached is None:
+            if self.quals.size == 0 or self.n_reads == 0:
+                cached = np.zeros(self.n_reads, np.float32)
+                self.__dict__["_mean_quals"] = cached
+                return cached
+            starts = np.minimum(self.qual_off[:-1], max(self.quals.size - 1, 0))
+            sums = np.add.reduceat(self.quals.astype(np.float64), starts)
+            sums[self.length == 0] = 0.0
+            cached = (sums / np.maximum(self.length, 1)).astype(np.float32)
+            self.__dict__["_mean_quals"] = cached
+        return cached
+
     def name(self, read_id: int) -> str:
         i = self._check_id(read_id)
         return self.names[i] if self.names else f"read{read_id}"
@@ -217,6 +297,45 @@ class ReadSet:
             out[row, : wc[row]] = self.words[self.word_off[i] : self.word_off[i] + wc[row]]
         return out, self.length[idx].copy()
 
+    def sliced(self, bgn: np.ndarray, end: np.ndarray) -> "ReadSet":
+        """Derived ReadSet keeping [bgn[i], end[i]) of every read.
+
+        Reads whose range is empty are dropped.  Provenance
+        (source_id/source_bgn) and the quality plane carry over — the
+        clear-range application of the reference's gatekeeperDumpFASTQ
+        (/root/reference/src/stores/gatekeeperDumpFASTQ.C), but producing
+        a new immutable store instead of a sidecar file.
+        """
+        bgn = np.asarray(bgn, np.int64)
+        end = np.asarray(end, np.int64)
+        assert len(bgn) == self.n_reads and len(end) == self.n_reads
+        codes_list: list[np.ndarray] = []
+        quals_list: list[np.ndarray] | None = [] if self.has_quals else None
+        names: list[str] | None = [] if self.names else None
+        src_id: list[int] = []
+        src_bgn: list[int] = []
+        off = self.qual_off if self.has_quals else None
+        for i in range(self.n_reads):
+            b = int(max(0, bgn[i]))
+            e = int(min(self.length[i], end[i]))
+            if e <= b:
+                continue
+            codes_list.append(self.get_codes(i + 1)[b:e])
+            if quals_list is not None:
+                quals_list.append(self.quals[off[i] + b : off[i] + e])
+            if names is not None:
+                names.append(self.names[i])
+            # chain provenance through already-derived sets
+            src_id.append(int(self.source_id[i]) or (i + 1))
+            src_bgn.append(int(self.source_bgn[i]) + b)
+        return ReadSet.from_codes_list(
+            codes_list,
+            names,
+            source_id=np.array(src_id, np.int32),
+            source_bgn=np.array(src_bgn, np.int32),
+            quals_list=quals_list,
+        )
+
     def iter_blocks(self, block_size: int) -> Iterator[np.ndarray]:
         """Yield consecutive 1-based id arrays of at most block_size reads."""
         for bgn in range(1, self.n_reads + 1, block_size):
@@ -229,14 +348,16 @@ class ReadSet:
         path = os.fspath(path)
         tmp = path + ".WORKING"
         os.makedirs(tmp, exist_ok=True)
-        np.savez(
-            os.path.join(tmp, "reads.npz"),
+        arrays = dict(
             words=self.words,
             word_off=self.word_off,
             length=self.length,
             source_id=self.source_id,
             source_bgn=self.source_bgn,
         )
+        if self.quals is not None:
+            arrays["quals"] = self.quals
+        np.savez(os.path.join(tmp, "reads.npz"), **arrays)
         meta = {
             "version": 1,
             "n_reads": self.n_reads,
@@ -264,12 +385,13 @@ class ReadSet:
             length = z["length"]
             source_id = z["source_id"] if "source_id" in z else None
             source_bgn = z["source_bgn"] if "source_bgn" in z else None
+            quals = z["quals"] if "quals" in z else None
         names = None
         names_path = os.path.join(path, "names.txt")
         if os.path.exists(names_path):
             with open(names_path) as fh:
                 names = fh.read().splitlines()
-        return cls(words, word_off, length, names, source_id, source_bgn)
+        return cls(words, word_off, length, names, source_id, source_bgn, quals)
 
     # ---- reports ----
 
@@ -291,6 +413,27 @@ def _read_all_bytes(path: str | os.PathLike) -> bytes:
         if head == b"\x1f\x8b":
             return gzip.decompress(fh.read())
         return fh.read()
+
+
+def _is_fastq(path: str | os.PathLike) -> bool:
+    """True if the file's first non-blank char is '@' (FASTQ)."""
+    import gzip
+
+    path = os.fspath(path)
+    try:
+        with open(path, "rb") as raw:
+            magic = raw.read(2)
+        opener = gzip.open if magic == b"\x1f\x8b" else open
+        with opener(path, "rb") as fh:
+            while True:
+                chunk = fh.read(256)
+                if not chunk:
+                    return False
+                stripped = chunk.lstrip()
+                if stripped:
+                    return stripped[:1] == b"@"
+    except OSError:
+        return False
 
 
 def _split_at_invalid(codes: np.ndarray) -> list[tuple[int, np.ndarray]]:
