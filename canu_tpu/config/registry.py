@@ -102,6 +102,10 @@ class Config:
                          "banded-extension band width (multiple of 128)")
         self._reg_tagged("merDistinct", {"cor": 0.9995, "obt": 0.9995, "utg": 0.9995}, float,
                          "fraction of distinct k-mers below the frequent-mer cutoff")
+        self._reg_tagged("merThreshold", {"cor": "auto", "obt": "auto", "utg": "auto"}, str,
+                         "frequent-mer cutoff: auto (mhap total-fraction), estimate (valley/peak), distinct, or a count")
+        self._reg("mhapFilterThreshold", 5e-6, float,
+                  "auto frequent-mer rule: ignore mers with count >= this fraction of total mers (Meryl.pm mhap ignore)")
         self._reg_tagged("minShared", {"cor": 4, "obt": 4, "utg": 4}, int,
                          "min inlier shared k-mers to keep a candidate")
 
@@ -111,7 +115,13 @@ class Config:
         self._reg("corOutCoverage", 40, int, "target coverage of corrected reads to output")
         self._reg("corMaxEvidenceCoverage", 40, int, "cap on evidence reads per corrected read")
         self._reg("corMinEvidenceLength", 0, int, "min evidence overlap length for correction")
-        self._reg("trimMinCoverage", 2, int, "min overlap coverage to keep read bases in trimming")
+        # reference names (Defaults.pm:881-882).  The reference defaults
+        # BOTH to 1; measured here, coverage 1 keeps single-overlap read
+        # tails that cost ~0.05% contig identity (no QVs exist on
+        # corrected reads to rescue them), so the default is 2 — set
+        # trimReadsCoverage=1 for strict reference parity.
+        self._reg("trimReadsCoverage", 2, int, "min depth of overlap evidence to retain bases in trimming")
+        self._reg("trimReadsOverlap", 1, int, "min overlap between evidence to make a contiguous trim")
         self._reg("qvTrim", True, _bool, "QV clear ranges at gatekeeper for FASTQ inputs (trimReads-quality role)")
         self._reg("qvTrimMinQuality", 7.0, float, "QV trim: min windowed mean phred quality")
         self._reg("qvTrimWindow", 100, int, "QV trim: sliding window length (bases)")
@@ -218,6 +228,12 @@ class Config:
             er = self.get(tag + "OvlErrorRate")
             if not (0 < er < 0.6):
                 raise ConfigError(f"{tag}OvlErrorRate={er} out of range")
+            mt = str(self.get(tag + "MerThreshold"))
+            if mt not in ("auto", "estimate", "distinct") and not mt.isdigit():
+                raise ConfigError(
+                    f"{tag}MerThreshold={mt!r} must be auto, estimate, "
+                    f"distinct, or a count"
+                )
         if self.get("readType") not in ("pacbio", "nanopore"):
             raise ConfigError(f"readType={self.get('readType')!r} unknown")
 

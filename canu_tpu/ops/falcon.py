@@ -146,10 +146,15 @@ def run_vote_blocks(
     template_ids: np.ndarray,
     band: int,
     finalize,
+    skip=frozenset(),
 ):
     """Shared block loop: group templates, pile votes per block on device,
     finalize (a callable (words, lengths, t_idx, votes, Lt, n_live) ->
-    device array [G, Lt, ...]), yield (tids, host_result) per block."""
+    device array [G, Lt, ...]), yield (block_index, tids, host_result)
+    per block.  Block indices are deterministic for a given (readset,
+    template selection); ``skip`` suppresses all device work for those
+    indices (resume support — the reference re-runs only failed array
+    elements, Execution.pm convertToJobRange)."""
     words_d, len_d = device_words(rs)
     pad_row = rs.n_reads  # trailing all-zero row of the device planes
     blocks = template_blocks(rs.length, template_ids)
@@ -164,6 +169,8 @@ def run_vote_blocks(
     import jax.numpy as jnp
 
     for bi, (bt, G, Lt) in enumerate(blocks):
+        if bi in skip:
+            continue
         take = order[bounds[bi] : bounds[bi + 1]]
         block_jobs = VoteJobs(
             t_idx=jobs.t_idx[take],
@@ -181,7 +188,7 @@ def run_vote_blocks(
         t_idx_block = np.full(G, pad_row, np.int32)
         t_idx_block[: len(bt)] = bt - 1
         res = finalize(words_d, len_d, jnp.asarray(t_idx_block), votes, Lt)
-        yield bt, np.asarray(res)
+        yield bi, bt, np.asarray(res)
 
 
 def correct_reads(
@@ -198,6 +205,32 @@ def correct_reads(
     qv_weight: bool = True,
 ) -> Iterator[tuple[str, str]]:
     """Yield (name, corrected_sequence) for selected templates."""
+    for _bi, items in correct_reads_blocks(
+        rs, st, genome_size, out_coverage, max_evidence_coverage,
+        min_evidence_length, band, min_cov, min_piece, qv_weight,
+    ):
+        yield from items
+
+
+def correct_reads_blocks(
+    rs: ReadSet,
+    st: OverlapStore,
+    genome_size: float,
+    out_coverage: int = 40,
+    max_evidence_coverage: int = 40,
+    min_evidence_length: int = 0,
+    band: int = 256,
+    min_cov: int = 4,
+    min_piece: int = 1000,
+    qv_weight: bool = True,
+    done_blocks=frozenset(),
+) -> Iterator[tuple[int, list[tuple[str, str]]]]:
+    """Yield (block_index, [(name, corrected_seq), ...]) per template
+    block.  Block indices are deterministic for a given store+config, so
+    a caller can persist each block's output and resume with
+    ``done_blocks`` after a crash — the correction equivalent of the
+    reference's per-jobid batch arrays
+    (/root/reference/src/pipelines/canu/CorrectReads.pm:122-141)."""
     template_ids = select_templates(rs, genome_size, out_coverage)
     rows = select_evidence_rows(
         st, template_ids, rs.length, max_evidence_coverage, min_evidence_length
@@ -218,12 +251,18 @@ def correct_reads(
         )
         return packed
 
-    for bt, packed in run_vote_blocks(rs, jobs, template_ids, band, finalize):
+    for bi, bt, packed in run_vote_blocks(
+        rs, jobs, template_ids, band, finalize, skip=done_blocks
+    ):
+        items: list[tuple[str, str]] = []
         for g, tid in enumerate(bt):
             row = packed[g, : int(rs.length[tid - 1])]
             out_idx = 0
             for _pos, seq in decode_pieces(row):
                 if len(seq) < min_piece:
                     continue
-                yield f"{rs.name(int(tid))}_corr{out_idx}", bitpack.codes_to_seq(seq)
+                items.append(
+                    (f"{rs.name(int(tid))}_corr{out_idx}", bitpack.codes_to_seq(seq))
+                )
                 out_idx += 1
+        yield bi, items

@@ -74,7 +74,7 @@ def detect_read_errors(
         )
 
     out: dict[int, np.ndarray] = {}
-    for bt, packed in run_vote_blocks(rs, jobs, ids, band, finalize):
+    for _bi, bt, packed in run_vote_blocks(rs, jobs, ids, band, finalize):
         live = packed[: len(bt)]
         gg, pp = np.nonzero((live >> 2) & 1)  # fix positions (masked on device)
         if len(gg) == 0:

@@ -122,10 +122,8 @@ def _gather_window(words: jax.Array, lengths: jax.Array, idx: jax.Array,
     return _shift_rows_left(raw, bgn, out_len)
 
 
-@partial(jax.jit, static_argnames=("band", "n_rows", "Lt", "G", "ends_free"),
-         donate_argnums=(0,))
-def _vote_chunk(
-    votes: jax.Array,  # f32[G, 10, Lt] accumulator (donated)
+def _vote_chunk_core(
+    votes: jax.Array,  # f32[G, 15, Lt] accumulator
     t_words: jax.Array, t_lengths: jax.Array,
     e_words: jax.Array, e_lengths: jax.Array,
     t_idx: jax.Array, e_idx: jax.Array,  # int32[B] rows into the planes
@@ -199,6 +197,42 @@ def _vote_chunk(
         "bg,bn->gn", onehot, contrib, preferred_element_type=jnp.float32
     )
     return votes + delta.reshape(G, N_CH, Lt)
+
+
+@partial(jax.jit, static_argnames=("band", "n_rows", "Lt", "G", "ends_free"),
+         donate_argnums=(0,))
+def _vote_many(
+    votes: jax.Array,  # f32[G, 15, Lt] accumulator (donated)
+    t_words: jax.Array, t_lengths: jax.Array,
+    e_words: jax.Array, e_lengths: jax.Array,
+    packed_cols: jax.Array,  # int32[C, 9, B]: job columns, weight bitcast
+    band: int, n_rows: int, Lt: int, G: int,
+    ends_free: bool = False,
+) -> jax.Array:
+    """C chunks of evidence jobs in ONE dispatch (lax.scan over chunks).
+
+    The remote-TPU tunnel charges a round-trip per dispatch and per
+    host->device transfer; ONE packed upload + one dispatch per C chunks
+    replaces 9 uploads + 1 dispatch per chunk.  Peak memory stays one
+    chunk's DP state (the scan body is the old per-chunk program)."""
+
+    def body(v, xs):
+        t_idx, e_idx, t_bgn, t_span, e_lo, e_span = (
+            xs[0], xs[1], xs[2], xs[3], xs[4], xs[5]
+        )
+        flipped = xs[6] != 0
+        slot = xs[7]
+        weight = jax.lax.bitcast_convert_type(xs[8], jnp.float32)
+        v = _vote_chunk_core(
+            v, t_words, t_lengths, e_words, e_lengths,
+            t_idx, e_idx, t_bgn, t_span, e_lo, e_span, flipped, slot,
+            weight,
+            band=band, n_rows=n_rows, Lt=Lt, G=G, ends_free=ends_free,
+        )
+        return v, None
+
+    votes, _ = jax.lax.scan(body, votes, packed_cols)
+    return votes
 
 
 def _template_codes(t_words, t_lengths, t_idx, Lt: int):
@@ -340,48 +374,76 @@ def block_geometry(max_t_len: int) -> tuple[int, int]:
     return G, Lt
 
 
+# chunks folded into one device dispatch (tunnel round-trips per dispatch
+# dominate wall clock on a remote TPU; 8 amortizes them without blowing
+# up the padding waste of small blocks)
+CHUNKS_PER_DISPATCH = 8
+
+_COL_FIELDS = ("t_idx", "e_idx", "t_bgn", "t_span", "e_lo", "e_span",
+               "flipped", "slot", "weight")
+
+
 def pile_votes(
     t_words, t_lengths, e_words, e_lengths,
     jobs: VoteJobs, G: int, Lt: int, band: int | None = None,
     ends_free: bool = False,
 ) -> jax.Array:
     """Run all evidence jobs of one template block; returns device votes
-    f32[G, 10, Lt].  Jobs are processed longest-template-window first in
-    power-of-two row buckets so a handful of compiled shapes covers any
-    span mix."""
+    f32[G, 15, Lt].  Jobs are bucketed by power-of-two template-span
+    rows; each bucket is stacked into [C, B] column planes and dispatched
+    CHUNKS_PER_DISPATCH scan-chunks at a time — a handful of compiled
+    shapes and a handful of tunnel round-trips per block."""
     votes = jnp.zeros((G, N_CH, Lt), jnp.float32)
     n = len(jobs)
     if n == 0:
         return votes
     if jobs.weight is None:
         jobs.weight = np.ones(n, np.float32)
-    order = np.argsort(-jobs.t_span, kind="stable")
-    pos = 0
-    while pos < n:
-        span0 = int(jobs.t_span[order[pos]])
-        n_rows = min(max(128, _pow2_at_least(span0)), Lt)
-        B = max(32, min(256, CHUNK_CELL_BUDGET // n_rows))
-        band_c = band if band is not None else (128 if n_rows <= 8192 else 256)
+    span = np.clip(jobs.t_span, 1, Lt)
+    n_rows_of = np.array(
+        [min(max(128, _pow2_at_least(int(s))), Lt) for s in span], np.int32
+    )
+    for nb in sorted(set(n_rows_of.tolist()), reverse=True):
+        idx = np.flatnonzero(n_rows_of == nb)
+        B = max(32, min(256, CHUNK_CELL_BUDGET // nb))
+        band_c = band if band is not None else (128 if nb <= 8192 else 256)
         band_c = min(band_c, 256)
-        take = order[pos : pos + B]
-        pos += B
-
-        def col(name, pad=0):
-            v = getattr(jobs, name)[take]
-            if len(take) < B:
-                v = np.concatenate(
-                    [v, np.full(B - len(take), pad, dtype=v.dtype)]
+        C_total = -(-len(idx) // B)
+        pad_n = C_total * B - len(idx)
+        cols_flat = {}
+        for f in _COL_FIELDS:
+            v = getattr(jobs, f)[idx]
+            if pad_n:
+                # pad jobs have t_span=0 and weight=0: they align garbage
+                # (masked) and contribute zero votes
+                v = np.concatenate([v, np.zeros(pad_n, v.dtype)])
+            cols_flat[f] = v.reshape(C_total, B)
+        # one int32[C, 9, B] plane per bucket: int cols verbatim, bool as
+        # 0/1, float weight bit-cast — a single h2d transfer per dispatch
+        packed = np.zeros((C_total, 9, B), np.int32)
+        for fi, f in enumerate(_COL_FIELDS):
+            v = cols_flat[f]
+            if f == "weight":
+                packed[:, fi, :] = v.astype(np.float32).view(np.int32)
+            else:
+                packed[:, fi, :] = v.astype(np.int32)
+        c0 = 0
+        while c0 < C_total:
+            rem = C_total - c0
+            # power-of-two dispatch sizes up to CHUNKS_PER_DISPATCH: a few
+            # compiled variants per bucket, padding waste bounded at 2x
+            CP = min(CHUNKS_PER_DISPATCH, _pow2_at_least(rem))
+            c1 = min(c0 + CP, C_total)
+            chunk = packed[c0:c1]
+            if c1 - c0 < CP:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((CP - (c1 - c0), 9, B), np.int32)]
                 )
-            return jnp.asarray(v)
-
-        votes = _vote_chunk(
-            votes, t_words, t_lengths, e_words, e_lengths,
-            col("t_idx"), col("e_idx"),
-            col("t_bgn"), col("t_span"),  # pad rows have t_span=0: no votes
-            col("e_lo"), col("e_span"),
-            col("flipped", pad=False), col("slot"), col("weight", pad=0),
-            band_c, n_rows, Lt, G, ends_free,
-        )
+            votes = _vote_many(
+                votes, t_words, t_lengths, e_words, e_lengths,
+                jnp.asarray(chunk), band_c, nb, Lt, G, ends_free,
+            )
+            c0 = c1
     return votes
 
 

@@ -112,8 +112,38 @@ def meryl(ctx: AssemblyCtx, tag: str, rs: ReadSet):
             kc = sharded_count_readset(rs, k=k)
         else:
             kc = K.count_readset_device(rs, k=k, block_size=256)
-        fk = K.frequent_kmers(kc, distinct_fraction=float(ctx.cfg.get(tag + "MerDistinct")))
         hist = kc.histogram(1000)
+        n_distinct = int(hist[1:].sum())
+        mode = str(ctx.cfg.get(tag + "MerThreshold"))
+        how = mode
+
+        def by_distinct():
+            return K.frequent_kmers(
+                kc, distinct_fraction=float(ctx.cfg.get(tag + "MerDistinct"))
+            )
+
+        if mode.isdigit():
+            fk = K.frequent_kmers(kc, threshold=int(mode))
+        elif mode == "auto":
+            # our overlapper is mhap-style, so 'auto' is the reference's
+            # MHAP ignore rule: minCount = filterThreshold * totalMers
+            # where totalMers = 2 * distinct canonical mers
+            # (Meryl.pm:672-695); tiny inputs where that rounds below 2
+            # fall back to the distinct-fraction rule
+            thr = int(float(ctx.cfg.get("mhapFilterThreshold")) * 2 * n_distinct)
+            if thr >= 2:
+                fk = K.frequent_kmers(kc, threshold=thr)
+                how = "auto(mhap total-fraction)"
+            else:
+                fk = by_distinct()
+                how = "auto->distinct-fallback"
+        elif mode == "estimate":
+            # valley/peak coverage estimate — the reference's
+            # estimate-mer-threshold used by its ovl overlapper
+            fk = K.frequent_kmers(kc, threshold=K.estimate_coverage_threshold(kc))
+            how = "estimate(valley/peak)"
+        else:
+            fk = by_distinct()
         np.savez(
             out + ".WORKING.npz",
             kmers=fk.kmers,
@@ -125,8 +155,8 @@ def meryl(ctx: AssemblyCtx, tag: str, rs: ReadSet):
         os.replace(out + ".WORKING.npz", out)
         ctx.report.add(
             f"{tag}.meryl",
-            f"k={k} distinct-fraction threshold {fk.threshold}; "
-            f"{fk.n} frequent mers of {int(hist[1:].sum())} distinct",
+            f"k={k} threshold {fk.threshold} ({how}); "
+            f"{fk.n} frequent mers of {n_distinct} distinct",
         )
 
     run_stage(ctx, f"{tag}-meryl", done, fn)
@@ -231,11 +261,20 @@ def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
 
 
 def correction_phase(ctx: AssemblyCtx, raw_inputs: list[str]) -> None:
-    """Raw reads -> corrected reads (CorrectReads.pm + falconsense)."""
-    from ..ops.falcon import correct_reads
+    """Raw reads -> corrected reads (CorrectReads.pm + falconsense).
+
+    Correction runs as RESUMABLE template blocks: each block's corrected
+    reads land in ``correction/blocks/block_NNNNN.fasta.gz`` (atomic
+    ``.WORKING`` rename), and a re-run skips completed blocks — the
+    reference's per-jobid batch arrays with only-failed-indices retry
+    (CorrectReads.pm:122-141, Execution.pm convertToJobRange).  This also
+    bounds the damage of a wedged remote-device fetch to one block.
+    """
+    from ..ops.falcon import correct_reads_blocks
 
     d = ctx.phase_dir("correction")
     out = os.path.join(d, f"{ctx.prefix}.correctedReads.fasta.gz")
+    blocks_dir = os.path.join(d, "blocks")
     rs = gatekeeper(ctx, "cor", raw_inputs)
     fk = meryl(ctx, "cor", rs)
     st = overlap(ctx, "cor", rs, fk)
@@ -244,7 +283,16 @@ def correction_phase(ctx: AssemblyCtx, raw_inputs: list[str]) -> None:
         return os.path.exists(out)
 
     def fn() -> None:
-        corrected = correct_reads(
+        os.makedirs(blocks_dir, exist_ok=True)
+        done_blocks = {
+            int(f[6:11])
+            for f in os.listdir(blocks_dir)
+            if f.startswith("block_") and f.endswith(".fasta.gz")
+        }
+        from ..io.fastx import write_fasta
+
+        n_blocks = len(done_blocks)
+        for bi, items in correct_reads_blocks(
             rs, st,
             genome_size=float(ctx.cfg.get("genomeSize")),
             out_coverage=int(ctx.cfg.get("corOutCoverage")),
@@ -252,17 +300,56 @@ def correction_phase(ctx: AssemblyCtx, raw_inputs: list[str]) -> None:
             min_evidence_length=int(ctx.cfg.get("corMinEvidenceLength")),
             band=int(ctx.cfg.get("corBandWidth")),
             qv_weight=bool(ctx.cfg.get("qvEvidenceWeight")),
-        )
-        from ..io.fastx import write_fasta
+            done_blocks=done_blocks,
+        ):
+            p = os.path.join(blocks_dir, f"block_{bi:05d}.fasta.gz")
+            write_fasta(p + ".WORKING.gz", items)
+            os.replace(p + ".WORKING.gz", p)
+            n_blocks += 1
+        # concatenate block gzips (gzip members concatenate legally)
+        n = 0
+        with open(out + ".WORKING.gz", "wb") as oh:
+            for f in sorted(os.listdir(blocks_dir)):
+                if not (f.startswith("block_") and f.endswith(".fasta.gz")):
+                    continue
+                with open(os.path.join(blocks_dir, f), "rb") as ih:
+                    oh.write(ih.read())
+        import gzip as _gz
 
-        n = write_fasta(
-            out + ".WORKING.gz",
-            ((name, seq) for name, seq in corrected),
-        )
+        with _gz.open(out + ".WORKING.gz", "rt") as fh:
+            n = sum(1 for line in fh if line.startswith(">"))
         os.replace(out + ".WORKING.gz", out)
-        ctx.report.add("cor.correct", f"corrected {n} reads -> {out}")
+        ctx.report.add(
+            "cor.correct",
+            f"corrected {n} reads in {n_blocks} blocks -> {out}",
+        )
 
     run_stage(ctx, "correction", done, fn)
+
+
+def _auto_erate_feedback(ctx: AssemblyCtx, st: OverlapStore, target_tag: str) -> None:
+    """Feed the measured corrected-read error distribution into the next
+    phase's overlap gate (the reference's auto error-rate loop:
+    ErrorEstimate.pm + Meryl.pm auto thresholds).  Only applies when the
+    user did not set the gate explicitly; runs on resume too (the store
+    reloads cheaply), so the gate is deterministic for a given store."""
+    key = f"{target_tag}ovlerrorrate"
+    if key in ctx.cfg.explicit or len(st) == 0:
+        return
+    from ..ops.errorest import estimate_error_rates
+
+    est = estimate_error_rates(st.erate)
+    gate = float(np.clip(est.suggested_ovl_erate, 0.03, 0.30))
+    before = float(ctx.cfg.get(key))
+    if abs(gate - before) < 1e-9:
+        return
+    ctx.cfg.values[key] = gate
+    ctx.report.add(
+        f"{target_tag}.autoerate",
+        f"{target_tag}OvlErrorRate auto-set {before:.3f} -> {gate:.3f} "
+        f"(median obt erate {est.median_erate:.4f}, est read error "
+        f"{est.read_error:.4f})",
+    )
 
 
 # ---- trimming phase ---------------------------------------------------------
@@ -276,14 +363,19 @@ def trimming_phase(ctx: AssemblyCtx, corrected_inputs: list[str]) -> None:
     rs = gatekeeper(ctx, "obt", corrected_inputs)
     fk = meryl(ctx, "obt", rs)
     st = overlap(ctx, "obt", rs, fk)
+    _auto_erate_feedback(ctx, st, "utg")
 
     def done() -> bool:
         return os.path.exists(out)
 
     def fn() -> None:
-        min_cov = int(ctx.cfg.get("trimMinCoverage"))
+        # reference defaults (Defaults.pm:881-882): coverage 1 keeps any
+        # read a single good overlap covers — low-coverage reads survive
+        # trimming like the reference's largest-covered with minCoverage=1
+        min_cov = int(ctx.cfg.get("trimReadsCoverage"))
         min_len = int(ctx.cfg.get("minReadLength"))
-        min_ovl = int(ctx.cfg.get("minOverlapLength"))
+        min_ovl = max(int(ctx.cfg.get("minOverlapLength")),
+                      int(ctx.cfg.get("trimReadsOverlap")))
         from ..io.fastx import write_fasta
 
         from ..utils.intervals import covered_intervals_all
@@ -411,6 +503,8 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
     def tigs_done() -> bool:
         return TigStore.latest_version(ctg_dir) >= 1
 
+    utg_dir = os.path.join(d, f"{ctx.prefix}.utgStore")
+
     def tigs_fn() -> None:
         tigs = build_unitigs(
             st, rs.length,
@@ -419,6 +513,10 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
             min_reads_per_contig=int(ctx.cfg.get("contigFilterMinReads")),
             deviation=float(ctx.cfg.get("utgGraphDeviation")),
         )
+        # unitigs = the graph tigs BEFORE repeat breaking (the reference
+        # keeps separate utgStore/ctgStore, bogart.C:562-598); saved here
+        # so outputs can dump a real .unitigs.fasta, not a contig copy
+        tigs.save(utg_dir, version=1)
         n_regions = n_broken = 0
         if bool(ctx.cfg.get("repeatDetect")):
             # bogart markRepeatReads + splitDiscontinuous (bogart.C:498-560)
@@ -493,10 +591,22 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
         un = ctx.path(f"{ctx.prefix}.unassembled.fasta")
         write_fasta(un + ".WORKING", unassembled)
         os.replace(un + ".WORKING", un)
-        # the reference also dumps .unitigs.fasta (Output.pm:56-160); our
-        # unitigs ARE the contigs until repeat-splitting diverges them
+        # .unitigs.fasta (Output.pm:56-160): the pre-repeat-break graph
+        # tigs at mosaic (draft) quality — the reference dumps utgStore
+        # consensus separately from ctgStore; polish effort goes to the
+        # contigs, unitigs document the graph structure
         ut = ctx.path(f"{ctx.prefix}.unitigs.fasta")
-        write_fasta(ut + ".WORKING", contigs)
+        if os.path.isdir(utg_dir):
+            utigs = TigStore.load(utg_dir, version=1)
+            urecs = []
+            for t in utigs:
+                if t.tig_class != CLASS_CONTIG:
+                    continue
+                seq = bitpack.codes_to_seq(quick_mosaic(rs, t))
+                urecs.append((f"utg{t.tig_id:08d} len={len(seq)} reads={t.n_reads}", seq))
+        else:
+            urecs = contigs
+        write_fasta(ut + ".WORKING", urecs)
         os.replace(ut + ".WORKING", ut)
         lay = ctx.path(f"{ctx.prefix}.layout.tsv")
         with open(lay + ".WORKING", "w") as fh:

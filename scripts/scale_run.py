@@ -25,9 +25,7 @@ def main() -> None:
     cov = float(sys.argv[2]) if len(sys.argv) > 2 else 20.0
     wd = sys.argv[3] if len(sys.argv) > 3 else "_scale/run1m"
 
-    from canu_tpu.config import Config
     from canu_tpu.io import fastx
-    from canu_tpu.pipeline.driver import run_pipeline
     from canu_tpu.sim.bogus import evaluate_assembly
     from canu_tpu.sim.simulate import random_genome, simulate_reads
     from canu_tpu.utils import bitpack
@@ -49,10 +47,40 @@ def main() -> None:
         f"({time.time()-t0:.1f}s)", flush=True,
     )
 
-    cfg = Config()
-    cfg.set("genomeSize", str(gsize))
+    # Executive loop: run the pipeline CLI as a subprocess with a
+    # per-attempt timeout and relaunch on failure/wedge — the reference's
+    # grid-chain recovery (Execution.pm:610-712 self-resubmission): the
+    # file-existence resume contract plus per-block correction outputs
+    # make each relaunch continue where the last attempt stopped.  The
+    # remote-TPU tunnel can wedge a single device fetch indefinitely;
+    # this bounds the damage to one attempt's timeout.
+    import subprocess
+
+    attempt_timeout = int(os.environ.get("CANU_TPU_ATTEMPT_TIMEOUT", "1500"))
+    max_attempts = int(os.environ.get("CANU_TPU_MAX_ATTEMPTS", "8"))
     t1 = time.time()
-    ctx = run_pipeline(wd, "asm", cfg, raw_reads=[raw_fa])
+    rc = -1
+    for attempt in range(1, max_attempts + 1):
+        cmd = [
+            sys.executable, "-m", "canu_tpu", "-p", "asm", "-d", wd,
+            f"genomeSize={gsize}", "-pacbio-raw", raw_fa,
+        ]
+        print(f"# attempt {attempt}/{max_attempts}", flush=True)
+        try:
+            r = subprocess.run(cmd, timeout=attempt_timeout,
+                               cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+            rc = r.returncode
+        except subprocess.TimeoutExpired:
+            print(f"# attempt {attempt} timed out after {attempt_timeout}s "
+                  f"(wedged device fetch?) — relaunching with resume", flush=True)
+            rc = -9
+            continue
+        if rc == 0:
+            break
+        print(f"# attempt {attempt} exited rc={rc} — relaunching", flush=True)
+    if rc != 0:
+        print(f"# pipeline FAILED after {max_attempts} attempts", flush=True)
+        sys.exit(1)
     wall = time.time() - t1
     print(f"# pipeline wall {wall:.1f}s", flush=True)
 
