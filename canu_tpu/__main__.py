@@ -61,11 +61,13 @@ def main(argv: list[str]) -> int:
             i += 1
             cfg.parse_spec_file(argv[i])
         elif a in ("-pacbio-raw", "-nanopore-raw"):
+            # whole per-technology default group applies in run_pipeline
+            # (reference canu.pl:499-517)
             cfg.set("readType", a.split("-")[1])
-            if a == "-nanopore-raw":
-                cfg.set("rawErrorRate", 0.35)
             mode = raw
         elif a in ("-pacbio-corrected", "-nanopore-corrected", "-corrected"):
+            if a != "-corrected":
+                cfg.set("readType", a.split("-")[1])
             mode = corrected
         elif a in ("-trimmed",):
             mode = trimmed

@@ -144,6 +144,47 @@ class Config:
         self._reg("onSuccess", "", str, "command to run when the pipeline finishes (gets the prefix as arg)")
         self._reg("onFailure", "", str, "command to run when the pipeline fails (gets the prefix as arg)")
 
+    # ---- read-type profiles (canu.pl:499-517) ----
+
+    # per-technology default groups, applied ONLY where the user did not
+    # set the key explicitly (reference setGlobalIfUndef semantics)
+    READ_TYPE_PROFILES = {
+        "pacbio": {
+            "corOvlErrorRate": 0.240,
+            "obtOvlErrorRate": 0.045,
+            "utgOvlErrorRate": 0.045,
+            "rawErrorRate": 0.300,
+            "correctedErrorRate": 0.045,
+            "corMhapSensitivity": "auto",
+        },
+        "nanopore": {
+            "corOvlErrorRate": 0.320,
+            "obtOvlErrorRate": 0.144,
+            "utgOvlErrorRate": 0.144,
+            "rawErrorRate": 0.500,
+            "correctedErrorRate": 0.144,
+            "corMhapSensitivity": "high",
+        },
+    }
+
+    def apply_read_type_profile(self) -> None:
+        """Set the whole per-technology default group for readType
+        (reference canu.pl:499-517) — every key the user set explicitly
+        survives."""
+        prof = self.READ_TYPE_PROFILES.get(str(self.get("readType")))
+        if not prof:
+            return
+        for key, value in prof.items():
+            lk = key.lower()
+            if lk in ("rawerrorrate", "correctederrorrate"):
+                # meta keys fan out to group members; respect explicit
+                # members inside set()
+                if lk not in self.explicit:
+                    self.values[lk] = float(value)
+                continue
+            if lk not in self.explicit:
+                self.values[lk] = self.registry[lk].type(value)
+
     # ---- sensitivity presets (OverlapMhap.pm:109-132 equivalents) ----
 
     PRESETS = {"low": (256, 3), "normal": (512, 2), "high": (768, 2)}

@@ -125,6 +125,7 @@ def run_pipeline(
     """
     from . import stages
 
+    cfg.apply_read_type_profile()
     cfg.validate()
     ctx = make_ctx(work_dir, prefix, cfg)
     with open(ctx.path(f"{prefix}.spec.used"), "w") as fh:

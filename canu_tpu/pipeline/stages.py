@@ -306,6 +306,10 @@ def correction_phase(ctx: AssemblyCtx, raw_inputs: list[str]) -> None:
             write_fasta(p + ".WORKING.gz", items)
             os.replace(p + ".WORKING.gz", p)
             n_blocks += 1
+            ctx.log.info(
+                "correction block %d done (%d reads, %d blocks total)",
+                bi, len(items), n_blocks,
+            )
         # concatenate block gzips (gzip members concatenate legally)
         n = 0
         with open(out + ".WORKING.gz", "wb") as oh:

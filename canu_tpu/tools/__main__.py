@@ -334,6 +334,91 @@ def cmd_tig_display(args: argparse.Namespace) -> int:
     return 1
 
 
+# ---- tig-coverage (tgStoreCoverageStat) --------------------------------------
+
+
+def cmd_tig_coverage(args: argparse.Namespace) -> int:
+    """Per-tig coverage statistics + Myers A-stat (the reference's
+    tgStoreCoverageStat, invoked at Consensus.pm:540: depth profile from
+    read placements, and the arrival-rate statistic that separates
+    unique tigs from collapsed repeats)."""
+    import numpy as np
+
+    from ..stores.tigs import CLASS_CONTIG, TigStore
+
+    ver = args.version or TigStore.latest_version(args.store)
+    ts = TigStore.load(args.store, version=ver)
+    contigs = [t for t in ts if args.all or t.tig_class == CLASS_CONTIG]
+    total_reads = sum(t.n_reads for t in contigs)
+    total_span = sum(t.length for t in contigs) or 1
+    arrival = total_reads / total_span  # global read arrival rate
+    rows = []
+    for t in contigs:
+        L = max(t.length, 1)
+        depth = np.zeros(L + 1, np.int64)
+        for i in range(t.n_reads):
+            depth[int(t.bgn[i]) : int(t.end[i])] += 1
+        d = depth[:L]
+        # A-stat: log-odds unique vs 2-copy collapsed repeat given the
+        # observed read count at the global arrival rate
+        astat = arrival * L - t.n_reads * float(np.log(2.0))
+        rows.append({
+            "tig": t.tig_id,
+            "len": t.length,
+            "reads": t.n_reads,
+            "cov_mean": round(float(d.mean()), 2),
+            "cov_median": int(np.median(d)),
+            "frac_below3": round(float(np.mean(d < 3)), 4),
+            "astat": round(astat, 1),
+            "repeat_suspect": bool(astat < float(args.astat_cutoff)),
+        })
+    print(json.dumps({"arrival_rate": round(arrival, 6), "tigs": rows},
+                     indent=None))
+    return 0
+
+
+# ---- best-edges (bogart-analysis role) ---------------------------------------
+
+
+def cmd_best_edges(args: argparse.Namespace) -> int:
+    """Dump per-read best edges + hygiene flags from the best-overlap
+    graph (the reference's bogart-analysis scripts, e.g.
+    show-false-best-edges-from-mapping.pl, need exactly this table)."""
+    from ..graph.best_overlap import BestOverlapGraph
+    from ..stores.overlaps import OverlapStore
+    from ..stores.readset import ReadSet
+
+    st = OverlapStore.load(args.ovlstore)
+    rs = ReadSet.load(args.gkpstore)
+    bog = BestOverlapGraph(
+        st, rs.length, max_erate=args.max_erate, deviation=args.deviation
+    )
+    n_susp = int(bog.suspicious.sum())
+    n_spur = int(bog.spur.sum())
+    n_single = int(bog.singleton.sum())
+    fh = open(args.out, "w") if args.out else sys.stdout
+    fh.write("#read\tflags\tbest5_to\tbest3_to\tcontained_in\n")
+    for r in range(1, st.n_reads + 1):
+        flags = []
+        if bog.suspicious[r]:
+            flags.append("suspicious")
+        if bog.spur[r]:
+            flags.append("spur")
+        if bog.singleton[r]:
+            flags.append("singleton")
+        fh.write(
+            f"{r}\t{','.join(flags) or '-'}\t{int(bog.best.b_id[r, 0])}\t"
+            f"{int(bog.best.b_id[r, 1])}\t{int(bog.best.contained_in[r])}\n"
+        )
+    if args.out:
+        fh.close()
+    print(json.dumps({
+        "reads": st.n_reads, "suspicious": n_susp, "spur": n_spur,
+        "singleton": n_single, "error_limit": round(float(bog.error_limit), 4),
+    }), file=sys.stderr)
+    return 0
+
+
 # ---- bogus (assembly-vs-truth) -----------------------------------------------
 
 
@@ -478,6 +563,24 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("tig", type=int)
     s.add_argument("-version", type=int)
     s.set_defaults(fn=cmd_tig_display)
+
+    s = sub.add_parser("tig-coverage",
+                       help="per-tig coverage stats + A-stat (tgStoreCoverageStat)")
+    s.add_argument("store")
+    s.add_argument("-version", type=int)
+    s.add_argument("-all", action="store_true", help="include unassembled")
+    s.add_argument("-astat-cutoff", dest="astat_cutoff", type=float,
+                   default=-5.0, help="A-stat below this marks a repeat suspect")
+    s.set_defaults(fn=cmd_tig_coverage)
+
+    s = sub.add_parser("best-edges",
+                       help="best-overlap-graph edge/flag dump (bogart-analysis)")
+    s.add_argument("ovlstore")
+    s.add_argument("gkpstore")
+    s.add_argument("-o", dest="out")
+    s.add_argument("-max-erate", dest="max_erate", type=float, default=0.12)
+    s.add_argument("-deviation", type=float, default=6.0)
+    s.set_defaults(fn=cmd_best_edges)
 
     s = sub.add_parser("options", help="print the parameter registry")
     s.add_argument("-markdown", action="store_true",

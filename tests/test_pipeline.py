@@ -130,3 +130,24 @@ def test_full_pipeline_raw_to_contigs(tmp_path, sim_reads):
     )
     assert r2.returncode == 0
     assert "skipping" in r2.stderr or "already done" in r2.stderr
+
+
+def test_read_type_profiles():
+    # nanopore profile sets the whole gate group (canu.pl:499-517)
+    cfg = Config()
+    cfg.set("readType", "nanopore")
+    cfg.apply_read_type_profile()
+    assert cfg.get("corOvlErrorRate") == 0.320
+    assert cfg.get("utgOvlErrorRate") == 0.144
+    assert cfg.get("corMhapSensitivity") == "high"
+    # explicit user values survive the profile
+    cfg2 = Config()
+    cfg2.set("readType", "nanopore")
+    cfg2.set("utgOvlErrorRate", 0.08)
+    cfg2.apply_read_type_profile()
+    assert cfg2.get("utgOvlErrorRate") == 0.08
+    assert cfg2.get("corOvlErrorRate") == 0.320
+    # pacbio profile
+    cfg3 = Config()
+    cfg3.apply_read_type_profile()
+    assert cfg3.get("obtOvlErrorRate") == 0.045
