@@ -389,61 +389,53 @@ def pile_votes(
     ends_free: bool = False,
 ) -> jax.Array:
     """Run all evidence jobs of one template block; returns device votes
-    f32[G, 15, Lt].  Jobs are bucketed by power-of-two template-span
-    rows; each bucket is stacked into [C, B] column planes and dispatched
-    CHUNKS_PER_DISPATCH scan-chunks at a time — a handful of compiled
-    shapes and a handful of tunnel round-trips per block."""
+    f32[G, 15, Lt].  Jobs are stacked into [C, B] column planes and
+    dispatched CHUNKS_PER_DISPATCH scan-chunks at a time.
+
+    Every job in a block runs at n_rows = Lt: remote-TPU compiles of this
+    program are MINUTES each (measured 5-10 min over the axon tunnel),
+    so ONE compiled shape per block geometry wins even though short-span
+    jobs waste DP rows — device compute here is cents on the dollar next
+    to compiles and per-dispatch round-trips.  (If device time ever
+    dominates, reintroduce one extra bucket at Lt/4.)"""
     votes = jnp.zeros((G, N_CH, Lt), jnp.float32)
     n = len(jobs)
     if n == 0:
         return votes
     if jobs.weight is None:
         jobs.weight = np.ones(n, np.float32)
-    span = np.clip(jobs.t_span, 1, Lt)
-    n_rows_of = np.array(
-        [min(max(128, _pow2_at_least(int(s))), Lt) for s in span], np.int32
-    )
-    for nb in sorted(set(n_rows_of.tolist()), reverse=True):
-        idx = np.flatnonzero(n_rows_of == nb)
-        B = max(32, min(256, CHUNK_CELL_BUDGET // nb))
-        band_c = band if band is not None else (128 if nb <= 8192 else 256)
-        band_c = min(band_c, 256)
-        C_total = -(-len(idx) // B)
-        pad_n = C_total * B - len(idx)
-        cols_flat = {}
-        for f in _COL_FIELDS:
-            v = getattr(jobs, f)[idx]
-            if pad_n:
-                # pad jobs have t_span=0 and weight=0: they align garbage
-                # (masked) and contribute zero votes
-                v = np.concatenate([v, np.zeros(pad_n, v.dtype)])
-            cols_flat[f] = v.reshape(C_total, B)
-        # one int32[C, 9, B] plane per bucket: int cols verbatim, bool as
-        # 0/1, float weight bit-cast — a single h2d transfer per dispatch
-        packed = np.zeros((C_total, 9, B), np.int32)
-        for fi, f in enumerate(_COL_FIELDS):
-            v = cols_flat[f]
-            if f == "weight":
-                packed[:, fi, :] = v.astype(np.float32).view(np.int32)
-            else:
-                packed[:, fi, :] = v.astype(np.int32)
-        c0 = 0
-        while c0 < C_total:
-            rem = C_total - c0
-            # power-of-two dispatch sizes up to CHUNKS_PER_DISPATCH: a few
-            # compiled variants per bucket, padding waste bounded at 2x
-            CP = min(CHUNKS_PER_DISPATCH, _pow2_at_least(rem))
-            c1 = min(c0 + CP, C_total)
-            chunk = packed[c0:c1]
-            if c1 - c0 < CP:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((CP - (c1 - c0), 9, B), np.int32)]
-                )
-            votes = _vote_many(
-                votes, t_words, t_lengths, e_words, e_lengths,
-                jnp.asarray(chunk), band_c, nb, Lt, G, ends_free,
-            )
-            c0 = c1
+    n_rows = Lt
+    B = max(32, min(256, CHUNK_CELL_BUDGET // n_rows))
+    band_c = min(band if band is not None else 256, 256)
+    C_total = -(-n // B)
+    pad_n = C_total * B - n
+    # one int32[C, 9, B] plane: int cols verbatim, bool as 0/1, float
+    # weight bit-cast — a single h2d transfer per dispatch.  Pad jobs
+    # have t_span=0 and weight=0: they align garbage (masked) and
+    # contribute zero votes.
+    packed = np.zeros((C_total, 9, B), np.int32)
+    for fi, f in enumerate(_COL_FIELDS):
+        v = getattr(jobs, f)
+        if f == "weight":
+            v = v.astype(np.float32).view(np.int32)
+        else:
+            v = v.astype(np.int32)
+        if pad_n:
+            v = np.concatenate([v, np.zeros(pad_n, np.int32)])
+        packed[:, fi, :] = v.reshape(C_total, B)
+    # full groups of CHUNKS_PER_DISPATCH, tail as single-chunk
+    # dispatches: exactly TWO compiled shapes per block geometry, and no
+    # padded-chunk compute (pad jobs still run the DP — a padded CHUNK
+    # would multiply that waste 8x on small blocks)
+    c0 = 0
+    while c0 < C_total:
+        CP = CHUNKS_PER_DISPATCH if C_total - c0 >= CHUNKS_PER_DISPATCH else 1
+        chunk = packed[c0 : c0 + CP]
+        votes = _vote_many(
+            votes, t_words, t_lengths, e_words, e_lengths,
+            jnp.asarray(chunk), band_c, n_rows, Lt, G, ends_free,
+        )
+        c0 += CP
     return votes
 
 
