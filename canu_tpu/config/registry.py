@@ -112,6 +112,7 @@ class Config:
         self._reg("cnsPolish", True, _bool, "plurality-polish contig consensus with tig reads")
         self._reg("cnsMinCoverage", 2, int, "min read coverage for a polished consensus call")
         self._reg("cnsPolishRounds", 3, int, "max consensus repileup rounds (abAbacus mergeRefine role)")
+        self._reg("cnsMaxCoverage", 40, int, "cap read depth used for consensus (stashContains role)")
         self._reg("corOutCoverage", 40, int, "target coverage of corrected reads to output")
         self._reg("corMaxEvidenceCoverage", 40, int, "cap on evidence reads per corrected read")
         self._reg("corMinEvidenceLength", 0, int, "min evidence overlap length for correction")
@@ -127,6 +128,17 @@ class Config:
         self._reg("qvTrimWindow", 100, int, "QV trim: sliding window length (bases)")
         self._reg("qvEvidenceWeight", True, _bool, "weight correction votes by evidence read mean QV (tie-break)")
         self._reg("contigFilterMinReads", 2, int, "tigs with fewer reads are unassembled")
+        self._reg("contigFilterMinLength", 0, int, "tigs shorter than this are unassembled")
+        self._reg("contigFilterLowCovFraction", 0.5, float,
+                  "tigs with more than this fraction of bases below lowCovDepth are unassembled")
+        self._reg("contigFilterLowCovDepth", 5, int, "depth used by contigFilterLowCovFraction")
+        self._reg("stopOnReadQuality", True, _bool,
+                  "abort gatekeeper when most input reads are discarded (Gatekeeper.pm stopOnReadQuality)")
+        self._reg("saveOverlaps", True, _bool,
+                  "keep per-phase overlap stores after the phase completes (false deletes cor/obt stores)")
+        self._reg("mhapBlockSize", 256, int, "reads per sketch block (OverlapMhap.pm blockSize role)")
+        self._reg("objectStore", "", str,
+                  "stash/fetch phase outputs: '' (off), TEST:<dir>, or gs://bucket (Grid_Cloud.pm)")
         self._reg("enableOEA", True, _bool, "overlap error adjustment: RED read-error voting + OEA erate recompute")
         self._reg("oeaMinAltVotes", 4, int, "RED: min evidence votes for an alternative base to call an error")
         self._reg("oeaMaxOwnVotes", 1, int, "RED: max evidence votes for the read's own base at an error")

@@ -131,6 +131,47 @@ def run_pipeline(
     with open(ctx.path(f"{prefix}.spec.used"), "w") as fh:
         json.dump(cfg.to_dict(), fh, indent=1, default=str)
 
+    if bool(cfg.get("useGrid")):
+        # join the multi-host jax cluster (Grid_*.pm role): afterwards
+        # jax.device_count() spans hosts, so shardedCompute=auto runs the
+        # meryl/overlap stages over the full mesh
+        from ..parallel.launch import init_distributed
+
+        pi, n = init_distributed()
+        import jax
+
+        ctx.log.info(
+            "useGrid: process %d/%d joined, %d global devices",
+            pi, n, jax.device_count(),
+        )
+
+    obstore = None
+    spec = str(cfg.get("objectStore")).strip()
+    if spec:
+        from .objectstore import make_object_store
+
+        obstore = make_object_store(spec)
+
+    def _stage_outputs() -> list[tuple[str, str]]:
+        # (local path, object key) pairs of the durable phase outputs
+        outs = [
+            ("correction/" + f"{prefix}.correctedReads.fasta.gz",) * 2,
+            ("trimming/" + f"{prefix}.trimmedReads.fasta.gz",) * 2,
+            (f"{prefix}.contigs.fasta",) * 2,
+            (f"{prefix}.unitigs.fasta",) * 2,
+            (f"{prefix}.report",) * 2,
+        ]
+        return [(ctx.path(p), f"{prefix}/{k}") for p, k in outs]
+
+    if obstore is not None:
+        # fetch completed outputs first: a fresh machine resumes from the
+        # bucket exactly like Grid_Cloud fetches stores before a stage
+        for local, key in _stage_outputs():
+            if not os.path.exists(local) and obstore.exists(key):
+                os.makedirs(os.path.dirname(local), exist_ok=True)
+                obstore.fetch_file(key, local)
+                ctx.log.info("objectStore: fetched %s", key)
+
     def _hook(name: str) -> None:
         # onSuccess/onFailure user hooks (Defaults.pm:764-765)
         cmd = str(cfg.get(name)).strip()
@@ -154,6 +195,11 @@ def run_pipeline(
     except Exception:
         _hook("onFailure")
         raise
+    if obstore is not None:
+        for local, key in _stage_outputs():
+            if os.path.exists(local):
+                obstore.stash_file(local, key)
+        ctx.log.info("objectStore: outputs stashed to %s", spec)
     from ..utils.runtime import rusage
 
     ru = rusage()

@@ -53,6 +53,19 @@ def gatekeeper(ctx: AssemblyCtx, tag: str, inputs: list[str]) -> ReadSet:
         rs, stats = ReadSet.from_fastx(inputs, min_read_length=min_len)
         if rs.n_reads == 0:
             raise RuntimeError(f"gatekeeper[{tag}]: no reads loaded from {inputs}")
+        if (
+            bool(ctx.cfg.get("stopOnReadQuality"))
+            and stats.n_input > 0
+            and stats.n_skipped_short > stats.n_loaded
+        ):
+            # Gatekeeper.pm:302-312 stopOnReadQuality: most of the input
+            # was discarded — almost always wrong minReadLength/wrong file
+            raise RuntimeError(
+                f"gatekeeper[{tag}]: {stats.n_skipped_short} of "
+                f"{stats.n_input} input reads discarded as shorter than "
+                f"minReadLength={min_len}; fix the input or set "
+                f"stopOnReadQuality=false to continue anyway"
+            )
         qv_line = ""
         if rs.has_quals:
             from ..utils.quality import quality_clear_ranges, read_quality_histogram
@@ -190,7 +203,8 @@ def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
         k = int(cfg.get(tag + "MerSize"))
         coverage = rs.total_bases / max(1.0, cfg.get("genomeSize"))
         n_hashes, min_matches = cfg.sketch_preset(tag, coverage)
-        sk = MH.build_sketches(rs, k=k, n_hashes=n_hashes, frequent=fk, block_size=256)
+        sk = MH.build_sketches(rs, k=k, n_hashes=n_hashes, frequent=fk,
+                               block_size=int(cfg.get("mhapBlockSize")))
         if sharded_enabled(cfg):
             # ring all-vs-all over the device mesh: same candidate SET as
             # the single-device block x block pass, O(N/n) per device
@@ -275,6 +289,13 @@ def correction_phase(ctx: AssemblyCtx, raw_inputs: list[str]) -> None:
     d = ctx.phase_dir("correction")
     out = os.path.join(d, f"{ctx.prefix}.correctedReads.fasta.gz")
     blocks_dir = os.path.join(d, "blocks")
+    if os.path.exists(out):
+        # phase-level short-circuit: with saveOverlaps=false the
+        # intermediate stores are gone, so the sub-stages must not be
+        # consulted (they would rebuild them)
+        ctx.log.info("correction phase complete, skipping")
+        _cleanup_phase_stores(ctx, d)
+        return
     rs = gatekeeper(ctx, "cor", raw_inputs)
     fk = meryl(ctx, "cor", rs)
     st = overlap(ctx, "cor", rs, fk)
@@ -323,20 +344,47 @@ def correction_phase(ctx: AssemblyCtx, raw_inputs: list[str]) -> None:
         with _gz.open(out + ".WORKING.gz", "rt") as fh:
             n = sum(1 for line in fh if line.startswith(">"))
         os.replace(out + ".WORKING.gz", out)
+        import shutil
+
+        shutil.rmtree(blocks_dir, ignore_errors=True)  # concatenated
         ctx.report.add(
             "cor.correct",
             f"corrected {n} reads in {n_blocks} blocks -> {out}",
         )
 
     run_stage(ctx, "correction", done, fn)
+    _cleanup_phase_stores(ctx, d)
 
 
-def _auto_erate_feedback(ctx: AssemblyCtx, st: OverlapStore, target_tag: str) -> None:
+def _cleanup_phase_stores(ctx: AssemblyCtx, phase_dir: str) -> None:
+    """saveOverlaps=false: drop the phase's overlap store + spill once
+    the phase output exists (the reference deletes intermediate overlap
+    outputs unless saveOverlaps is set, Defaults.pm saveOverlaps)."""
+    if bool(ctx.cfg.get("saveOverlaps")):
+        return
+    import glob
+    import shutil
+
+    for p in glob.glob(os.path.join(phase_dir, f"{ctx.prefix}.ovlStore*")) + \
+            glob.glob(os.path.join(phase_dir, f"{ctx.prefix}.ovl.spill*")):
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        ctx.log.info("saveOverlaps=false: removed %s", p)
+
+
+def _auto_erate_feedback(
+    ctx: AssemblyCtx, st: OverlapStore, target_tag: str, phase_dir: str
+) -> None:
     """Feed the measured corrected-read error distribution into the next
     phase's overlap gate (the reference's auto error-rate loop:
     ErrorEstimate.pm + Meryl.pm auto thresholds).  Only applies when the
-    user did not set the gate explicitly; runs on resume too (the store
-    reloads cheaply), so the gate is deterministic for a given store."""
+    user did not set the gate explicitly; the decision is persisted so a
+    resumed run (whose store may be deleted) applies the same gate."""
     key = f"{target_tag}ovlerrorrate"
     if key in ctx.cfg.explicit or len(st) == 0:
         return
@@ -344,6 +392,10 @@ def _auto_erate_feedback(ctx: AssemblyCtx, st: OverlapStore, target_tag: str) ->
 
     est = estimate_error_rates(st.erate)
     gate = float(np.clip(est.suggested_ovl_erate, 0.03, 0.30))
+    import json
+
+    with open(os.path.join(phase_dir, "autoerate.json"), "w") as fh:
+        json.dump({"key": key, "gate": gate}, fh)
     before = float(ctx.cfg.get(key))
     if abs(gate - before) < 1e-9:
         return
@@ -356,6 +408,18 @@ def _auto_erate_feedback(ctx: AssemblyCtx, st: OverlapStore, target_tag: str) ->
     )
 
 
+def _apply_saved_autoerate(ctx: AssemblyCtx, phase_dir: str) -> None:
+    p = os.path.join(phase_dir, "autoerate.json")
+    if not os.path.exists(p):
+        return
+    import json
+
+    with open(p) as fh:
+        saved = json.load(fh)
+    if saved["key"] not in ctx.cfg.explicit:
+        ctx.cfg.values[saved["key"]] = float(saved["gate"])
+
+
 # ---- trimming phase ---------------------------------------------------------
 
 
@@ -364,10 +428,15 @@ def trimming_phase(ctx: AssemblyCtx, corrected_inputs: list[str]) -> None:
     largest-covered-interval clear ranges applied on dump)."""
     d = ctx.phase_dir("trimming")
     out = os.path.join(d, f"{ctx.prefix}.trimmedReads.fasta.gz")
+    if os.path.exists(out):
+        ctx.log.info("trimming phase complete, skipping")
+        _apply_saved_autoerate(ctx, d)
+        _cleanup_phase_stores(ctx, d)
+        return
     rs = gatekeeper(ctx, "obt", corrected_inputs)
     fk = meryl(ctx, "obt", rs)
     st = overlap(ctx, "obt", rs, fk)
-    _auto_erate_feedback(ctx, st, "utg")
+    _auto_erate_feedback(ctx, st, "utg", d)
 
     def done() -> bool:
         return os.path.exists(out)
@@ -453,6 +522,7 @@ def trimming_phase(ctx: AssemblyCtx, corrected_inputs: list[str]) -> None:
         )
 
     run_stage(ctx, "trimming", done, fn)
+    _cleanup_phase_stores(ctx, d)
 
 
 # ---- assembly phase ---------------------------------------------------------
@@ -535,6 +605,29 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
             )
             n_regions = len(regions)
             n_broken = sum(1 for r in regions if r.broke)
+        # contigFilter length/low-coverage classification (the reference's
+        # contigFilter 5-tuple beyond minReads, Defaults.pm contigFilter:
+        # "minReads minLength singleReadSpan lowCovFraction lowCovDepth")
+        min_len_f = int(ctx.cfg.get("contigFilterMinLength"))
+        lc_frac = float(ctx.cfg.get("contigFilterLowCovFraction"))
+        lc_depth = int(ctx.cfg.get("contigFilterLowCovDepth"))
+        n_filtered = 0
+        for t in tigs:
+            if t.tig_class != CLASS_CONTIG:
+                continue
+            L = max(t.length, 1)
+            if min_len_f and L < min_len_f:
+                t.tig_class = CLASS_UNASSEMBLED
+                n_filtered += 1
+                continue
+            if lc_depth > 0 and 0 < lc_frac < 1:
+                depth = np.zeros(L + 1, np.int32)
+                np.add.at(depth, t.bgn, 1)
+                np.add.at(depth, t.end, -1)
+                below = np.cumsum(depth[:L]) < lc_depth
+                if float(below.mean()) > lc_frac:
+                    t.tig_class = CLASS_UNASSEMBLED
+                    n_filtered += 1
         tigs.save(ctg_dir, version=1)
         n_contig = sum(1 for t in tigs if t.tig_class == CLASS_CONTIG)
         ctx.report.add(
@@ -561,6 +654,7 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
                     band=int(ctx.cfg.get("utgBandWidth")) * 2,
                     min_cov=int(ctx.cfg.get("cnsMinCoverage")),
                     rounds=int(ctx.cfg.get("cnsPolishRounds")),
+                    max_coverage=int(ctx.cfg.get("cnsMaxCoverage")),
                 )
             else:
                 t.consensus = backbone

@@ -344,7 +344,12 @@ class ReadSet:
     # ---- persistence ----
 
     def save(self, path: str | os.PathLike) -> None:
-        """Atomically write the store directory (``.WORKING`` rename)."""
+        """Atomically write the store directory (``.WORKING`` rename).
+
+        The big planes (packed words, quals) are raw ``.npy`` files so
+        ``load`` can memory-map them — the reference's mmap'd gkStore
+        blob (/root/reference/src/AS_UTL/memoryMappedFile.H); npz would
+        force a full copy on every open."""
         path = os.fspath(path)
         tmp = path + ".WORKING"
         os.makedirs(tmp, exist_ok=True)
@@ -357,7 +362,8 @@ class ReadSet:
         )
         if self.quals is not None:
             arrays["quals"] = self.quals
-        np.savez(os.path.join(tmp, "reads.npz"), **arrays)
+        for name, arr in arrays.items():
+            np.save(os.path.join(tmp, name + ".npy"), arr)
         meta = {
             "version": 1,
             "n_reads": self.n_reads,
@@ -377,15 +383,32 @@ class ReadSet:
         os.rename(tmp, path)
 
     @classmethod
-    def load(cls, path: str | os.PathLike) -> "ReadSet":
+    def load(cls, path: str | os.PathLike, mmap: bool = True) -> "ReadSet":
+        """Open a store; the big planes are memory-mapped by default."""
         path = os.fspath(path)
-        with np.load(os.path.join(path, "reads.npz")) as z:
-            words = z["words"]
-            word_off = z["word_off"]
-            length = z["length"]
-            source_id = z["source_id"] if "source_id" in z else None
-            source_bgn = z["source_bgn"] if "source_bgn" in z else None
-            quals = z["quals"] if "quals" in z else None
+
+        def arr(name, mode):
+            p = os.path.join(path, name + ".npy")
+            if os.path.exists(p):
+                return np.load(p, mmap_mode=mode)
+            return None
+
+        if os.path.exists(os.path.join(path, "words.npy")):
+            big = "r" if mmap else None
+            words = arr("words", big)
+            word_off = arr("word_off", None)
+            length = arr("length", None)
+            source_id = arr("source_id", None)
+            source_bgn = arr("source_bgn", None)
+            quals = arr("quals", big)
+        else:  # legacy npz store
+            with np.load(os.path.join(path, "reads.npz")) as z:
+                words = z["words"]
+                word_off = z["word_off"]
+                length = z["length"]
+                source_id = z["source_id"] if "source_id" in z else None
+                source_bgn = z["source_bgn"] if "source_bgn" in z else None
+                quals = z["quals"] if "quals" in z else None
         names = None
         names_path = os.path.join(path, "names.txt")
         if os.path.exists(names_path):
