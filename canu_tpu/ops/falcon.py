@@ -127,17 +127,17 @@ def evidence_vote_jobs(
 def template_blocks(lengths: np.ndarray, template_ids: np.ndarray):
     """Group templates (longest first) into device vote blocks.
 
-    Yields (tids, G, Lt); all templates in a block share the padded
-    length Lt and occupy slots 0..len(tids)-1."""
+    Returns [(tids, G, Lt), ...]; ALL blocks share one (G, Lt) geometry
+    sized for the longest template.  Remote-TPU compiles of the vote
+    program run minutes-to-tens-of-minutes per shape (measured on the
+    axon tunnel), so one geometry per run — short templates wasting
+    padded columns — beats per-block geometries by the clock."""
     order = np.argsort(-lengths[template_ids - 1], kind="stable")
     tids = template_ids[order]
-    i = 0
-    out = []
-    while i < len(tids):
-        G, Lt = block_geometry(int(lengths[tids[i] - 1]))
-        out.append((tids[i : i + G], G, Lt))
-        i += G
-    return out
+    if len(tids) == 0:
+        return []
+    G, Lt = block_geometry(int(lengths[tids[0] - 1]))
+    return [(tids[i : i + G], G, Lt) for i in range(0, len(tids), G)]
 
 
 def run_vote_blocks(

@@ -481,13 +481,15 @@ def _interleave2(bases, keep, ins, ins_call, ins2, ins2_call) -> np.ndarray:
 
 
 def device_words(rs) -> tuple[jax.Array, jax.Array]:
-    """Device-resident packed words + lengths for a ReadSet, with one
-    trailing all-zero padding row (cached; shares the ReadIndex planes
-    when one was already built for the overlap stage)."""
-    cache = rs.__dict__.get("_read_index_cache")
-    if cache:
-        idx = next(iter(cache.values()))
-        return idx.words, idx.length
+    """Device-resident packed words + lengths for a ReadSet; trailing
+    all-zero padding rows (cached per ReadSet).
+
+    BOTH dimensions are padded to powers of two: array shapes are jit
+    cache keys, and remote-TPU compiles of the vote programs cost
+    minutes — canonical pow2 planes make every run with a similar-sized
+    read set hit the same persistent-cache entries.  (The overlap-stage
+    ReadIndex planes are NOT reused here for the same reason: their row
+    count is exact.)"""
     cached = rs.__dict__.get("_device_words_cache")
     if cached is not None:
         return cached
@@ -496,9 +498,14 @@ def device_words(rs) -> tuple[jax.Array, jax.Array]:
     N = rs.n_reads
     max_len = int(rs.length.max()) if N else 1
     W = 1 << max(0, int(n_words(max_len) - 1).bit_length())
+    # > N so pad rows exist; floor 128 keeps tiny stores (e.g. polish
+    # segment planes of small contigs) on one canonical shape
+    R = max(128, 1 << max(0, int(N).bit_length()))
     host_words, host_len = rs.block_words(np.arange(1, N + 1, dtype=np.int64), W)
-    host_words = np.vstack([host_words, np.zeros((1, W), np.uint32)])
-    host_len = np.concatenate([host_len, np.zeros(1, np.int32)])
+    host_words = np.vstack(
+        [host_words, np.zeros((R + 1 - N, W), np.uint32)]
+    )
+    host_len = np.concatenate([host_len, np.zeros(R + 1 - N, np.int32)])
     cached = (jnp.asarray(host_words), jnp.asarray(host_len))
     rs.__dict__["_device_words_cache"] = cached
     return cached
