@@ -67,6 +67,12 @@ def get_lib(name: str = "fastparse") -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
         ]
+        lib.fastx_scan_q.restype = ctypes.c_longlong
+        lib.fastx_scan_q.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_longlong,
+        ]
     elif name == "ovsort":
         lib.ovsort_file.restype = ctypes.c_longlong
         lib.ovsort_file.argtypes = [
@@ -77,11 +83,12 @@ def get_lib(name: str = "fastparse") -> Optional[ctypes.CDLL]:
     return lib
 
 
-def fastx_scan(data: bytes):
+def fastx_scan(data: bytes, want_quals: bool = False):
     """Scan FASTA/FASTQ bytes natively.
 
-    Returns (codes uint8[N], rec_off int64[R+1], names list[str]) or None
-    if the native library is unavailable (caller falls back to Python).
+    Returns (codes uint8[N], rec_off int64[R+1], names list[str]) — plus
+    a quals uint8[N] plane first when ``want_quals`` — or None if the
+    native library is unavailable (caller falls back to Python).
     """
     lib = get_lib("fastparse")
     if lib is None:
@@ -90,24 +97,23 @@ def fastx_scan(data: bytes):
     max_records = max(16, n // 32)
     buf = np.frombuffer(data, dtype=np.uint8)
     codes = np.empty(n, dtype=np.uint8)
-    rec_off = np.empty(max_records + 1, dtype=np.int64)
-    name_off = np.empty(max_records, dtype=np.int64)
-    name_len = np.empty(max_records, dtype=np.int64)
-    r = lib.fastx_scan(
-        buf.ctypes.data, n, codes.ctypes.data,
-        rec_off.ctypes.data, name_off.ctypes.data, name_len.ctypes.data,
-        max_records,
-    )
-    if r == -2:  # capacity exceeded (pathological tiny records): retry big
-        max_records = n + 1
-        rec_off = np.empty(max_records + 1, dtype=np.int64)
-        name_off = np.empty(max_records, dtype=np.int64)
-        name_len = np.empty(max_records, dtype=np.int64)
-        r = lib.fastx_scan(
-            buf.ctypes.data, n, codes.ctypes.data,
+    quals = np.empty(n, dtype=np.uint8) if want_quals else None
+    qptr = quals.ctypes.data if quals is not None else None
+
+    def run(cap):
+        rec_off = np.empty(cap + 1, dtype=np.int64)
+        name_off = np.empty(cap, dtype=np.int64)
+        name_len = np.empty(cap, dtype=np.int64)
+        r = lib.fastx_scan_q(
+            buf.ctypes.data, n, codes.ctypes.data, qptr,
             rec_off.ctypes.data, name_off.ctypes.data, name_len.ctypes.data,
-            max_records,
+            cap,
         )
+        return r, rec_off, name_off, name_len
+
+    r, rec_off, name_off, name_len = run(max_records)
+    if r == -2:  # capacity exceeded (pathological tiny records): retry big
+        r, rec_off, name_off, name_len = run(n + 1)
     if r < 0:
         raise ValueError(f"malformed FASTA/FASTQ (native scanner, code {r})")
     nrec = int(r)
@@ -115,6 +121,8 @@ def fastx_scan(data: bytes):
         data[int(name_off[i]) : int(name_off[i]) + int(name_len[i])].decode()
         for i in range(nrec)
     ]
+    if want_quals:
+        return codes, quals, rec_off[: nrec + 1].copy(), names
     return codes, rec_off[: nrec + 1].copy(), names
 
 

@@ -170,19 +170,24 @@ class ReadSet:
 
         for path in paths:
             handled = False
-            if use_native and not _is_fastq(path):
-                # native scanner is sequence-only; FASTQ goes through the
-                # Python parser so the quality plane is captured
+            if use_native:
                 from .. import native
 
                 if native.get_lib() is not None:
+                    is_fq = _is_fastq(path)
                     data = _read_all_bytes(path)
-                    res = native.fastx_scan(data)
+                    res = native.fastx_scan(data, want_quals=is_fq)
                     if res is not None:
-                        codes, rec_off, rec_names = res
+                        if is_fq:
+                            codes, qplane, rec_off, rec_names = res
+                        else:
+                            codes, rec_off, rec_names = res
+                            qplane = None
                         for r in range(len(rec_names)):
+                            lo, hi = rec_off[r], rec_off[r + 1]
                             add_record(
-                                rec_names[r], codes[rec_off[r] : rec_off[r + 1]]
+                                rec_names[r], codes[lo:hi],
+                                qplane[lo:hi] if qplane is not None else None,
                             )
                         handled = True
             if not handled:

@@ -43,9 +43,26 @@ extern "C" {
 //
 // Returns the number of records parsed, or -1 on malformed input, or
 // -2 if max_records was exceeded.
+long long fastx_scan_q(const uint8_t* buf, long long n, uint8_t* codes_out,
+                       uint8_t* quals_out, long long* rec_code_off,
+                       long long* name_off, long long* name_len,
+                       long long max_records);
+
 long long fastx_scan(const uint8_t* buf, long long n, uint8_t* codes_out,
                      long long* rec_code_off, long long* name_off,
                      long long* name_len, long long max_records) {
+  return fastx_scan_q(buf, n, codes_out, nullptr, rec_code_off, name_off,
+                      name_len, max_records);
+}
+
+// As fastx_scan, but also emits per-base phred qualities (char - 33)
+// into quals_out (caller size >= n) when non-null; FASTA records get 0
+// ("unknown").  The quality plane feeds ReadSet's QV features (the
+// reference stores QVs in the gkStore blob, gkStore.H:305-313).
+long long fastx_scan_q(const uint8_t* buf, long long n, uint8_t* codes_out,
+                       uint8_t* quals_out, long long* rec_code_off,
+                       long long* name_off, long long* name_len,
+                       long long max_records) {
   long long i = 0, nrec = 0, cpos = 0;
   // skip leading blank lines
   while (i < n && (buf[i] == '\n' || buf[i] == '\r')) i++;
@@ -68,21 +85,26 @@ long long fastx_scan(const uint8_t* buf, long long n, uint8_t* codes_out,
     if (fastq) {
       long long seq_len = 0;
       while (i < n && buf[i] != '\n') codes_out[cpos + seq_len++] = kCodes.t[buf[i++]];
-      cpos += seq_len;
       i++;                                   // newline
       if (i >= n || buf[i] != '+') return -1;
       while (i < n && buf[i] != '\n') i++;   // '+' line
       i++;
       long long q = 0;
       while (i < n && q < seq_len) {          // qualities, may not contain \n
-        if (buf[i] != '\n' && buf[i] != '\r') q++;
+        uint8_t c = buf[i];
+        if (c != '\n' && c != '\r') {
+          if (quals_out) quals_out[cpos + q] = c >= 33 ? c - 33 : 0;
+          q++;
+        }
         i++;
       }
       if (q != seq_len) return -1;
+      cpos += seq_len;
     } else {
       while (i < n && buf[i] != '>') {
         uint8_t c = buf[i++];
         if (c == '\n' || c == '\r') continue;
+        if (quals_out) quals_out[cpos] = 0;
         codes_out[cpos++] = kCodes.t[c];
       }
     }
