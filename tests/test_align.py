@@ -125,6 +125,7 @@ def test_verify_exact_overlap():
             assert bspan == (0, 2500)
 
 
+@pytest.mark.slow
 def test_verify_noisy_overlap_erate():
     rng = np.random.default_rng(11)
     g = random_genome(8000, seed=12)

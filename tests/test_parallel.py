@@ -91,6 +91,7 @@ def test_sharded_kmer_count_all_to_all():
     np.testing.assert_array_equal(np.asarray(hist)[1:], ref_hist[1:])
 
 
+@pytest.mark.slow
 def test_ring_candidates_match_single_device():
     """sharded_find_candidates must produce the SAME pair set as the
     single-device block x block pass (half-ring dedup correctness)."""

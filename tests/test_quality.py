@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from canu_tpu.io.fastx import write_fastq
 from canu_tpu.stores.readset import ReadSet
@@ -108,6 +109,7 @@ def test_sliced_carries_quals_and_provenance():
     assert sub2.n_reads == 1 and sub2.names[0] == "b"
 
 
+@pytest.mark.slow
 def test_qv_weight_breaks_vote_tie():
     """Two evidence reads disagree at one position; the higher-QV read wins."""
     import jax.numpy as jnp

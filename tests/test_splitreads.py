@@ -67,6 +67,7 @@ def test_palindromic_pairs_emit_both_orientations():
     assert dup_reads & set(junctions)
 
 
+@pytest.mark.slow
 def test_junction_detection_and_split():
     rs, junctions = _make_reads()
     st = _overlap_store(rs)
