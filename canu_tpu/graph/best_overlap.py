@@ -408,9 +408,21 @@ def build_unitigs(
     drop_dead_ends: bool = True,
 ) -> TigStore:
     """Greedy mutual-best unitigs + contained placement + singletons."""
+    import logging
+
+    log = logging.getLogger("canu_tpu.bogart")
     bog = BestOverlapGraph(store, read_lengths, max_erate, end_slop, min_span,
                            deviation=deviation)
     n = store.n_reads
+    # per-phase instrumentation (the reference's bogart Instrumentation/
+    # Logging role, AS_BAT_Logging.H flag-gated logs)
+    log.info(
+        "bestEdges: %d reads, %d suspicious, %d spur, %d singleton, "
+        "%d contained; error limit %.4f (deviation %.1f)",
+        n, int(bog.suspicious.sum()), int(bog.spur.sum()),
+        int(bog.singleton.sum()), int(bog.is_contained.sum()),
+        float(bog.error_limit), deviation,
+    )
     visited = np.zeros(n + 1, bool)
     tigs = TigStore()
     tig_of_read = np.zeros(n + 1, np.int32)  # 1-based tig ids, 0 = none
