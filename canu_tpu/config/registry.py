@@ -224,19 +224,26 @@ class Config:
 
     def set(self, key: str, value: Any) -> None:
         lk = key.lower()
-        # meta parameters set groups
+        # meta parameters set groups; the meta key AND the members it
+        # assigns become explicit so a later read-type profile cannot
+        # overwrite them (reference marks fanned members as set, so
+        # setGlobalIfUndef profile application preserves them)
         if lk == "rawerrorrate":
             v = float(value)
             self.values[lk] = v
+            self.explicit.add(lk)
             if "corovlerrorrate" not in self.explicit:
                 self.values["corovlerrorrate"] = v
+                self.explicit.add("corovlerrorrate")
             return
         if lk == "correctederrorrate":
             v = float(value)
             self.values[lk] = v
+            self.explicit.add(lk)
             for t in ("obt", "utg"):
                 if f"{t}ovlerrorrate" not in self.explicit:
                     self.values[f"{t}ovlerrorrate"] = v
+                    self.explicit.add(f"{t}ovlerrorrate")
             return
         # tag fan-out: bare base name sets all three tags
         fanned = False
@@ -245,6 +252,7 @@ class Config:
             if tk and tk in self.registry:
                 if tk not in self.explicit:
                     self.values[tk] = self.registry[tk].type(value)
+                    self.explicit.add(tk)
                 fanned = True
         if fanned:
             return

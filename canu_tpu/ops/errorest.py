@@ -45,24 +45,3 @@ def estimate_error_rates(erates: np.ndarray, margin: float = 1.25) -> ErrorEstim
     read_err = (1.0 - np.sqrt(max(0.0, 1.0 - 2.0 * r))) / 2.0
     gate = float(np.clip(margin * p95, 0.01, 0.5))
     return ErrorEstimate(med, p95, float(read_err), gate, len(erates))
-
-
-def poisson_unique_kmer_threshold(
-    coverage: float, k: int, error_rate: float
-) -> int:
-    """Expected count threshold below which k-mers are noise.
-
-    The reference's Poisson argument (ErrorEstimate.pm:53-98): an
-    error-free k-mer at coverage c survives errors with probability
-    (1-e)^k, so true k-mers arrive at rate lam = c*(1-e)^k; pick the
-    smallest count t whose Poisson tail makes noise unlikely (t well
-    below lam but above the error floor of ~c*k*e/3 singletons).
-    """
-    lam = coverage * (1.0 - error_rate) ** k
-    t = 1
-    while t < lam / 2 and t < 1000:
-        # P(X <= t) for X ~ Poisson(lam) tiny once t << lam
-        t += 1
-        if lam <= 4:
-            break
-    return max(2, int(t))

@@ -252,8 +252,8 @@ def _finalize_plurality(
 ):
     """Per-column plurality -> ONE packed uint8 per template column.
 
-    Mirrors ops.voting.plurality_call exactly (the template votes once
-    for itself; deletes/inserts need a strict majority of coverage).
+    The template votes once for itself; deletes/inserts need a strict
+    majority of coverage.
     """
     t_codes, pos_live = _template_codes(t_words, t_lengths, t_idx, Lt)
     self_vote = (

@@ -180,26 +180,39 @@ def run_pipeline(
 
             subprocess.run([cmd, prefix], cwd=work_dir, check=False)
 
+    _stashed: set[str] = set()
+
+    def _stash_ready() -> None:
+        # stash every durable output that exists NOW, so a fresh machine
+        # can resume mid-pipeline from the bucket (the reference's
+        # Grid_Cloud stashes per-stage, not only at the end)
+        if obstore is None:
+            return
+        for local, key in _stage_outputs():
+            if key not in _stashed and os.path.exists(local):
+                obstore.stash_file(local, key)
+                _stashed.add(key)
+                ctx.log.info("objectStore: stashed %s", key)
+
     try:
         if raw_reads is not None:
             stages.correction_phase(ctx, raw_reads)
             corrected_reads = [ctx.path("correction", f"{ctx.prefix}.correctedReads.fasta.gz")]
+            _stash_ready()
         if corrected_reads is not None:
             stages.trimming_phase(ctx, corrected_reads)
             trimmed_reads = [ctx.path("trimming", f"{ctx.prefix}.trimmedReads.fasta.gz")]
+            _stash_ready()
         if trimmed_reads is None:
             raise ConfigError("no input reads given")
         stages.assembly_phase(ctx, trimmed_reads)
     except StopPipeline:
-        pass
+        _stash_ready()
     except Exception:
+        _stash_ready()
         _hook("onFailure")
         raise
-    if obstore is not None:
-        for local, key in _stage_outputs():
-            if os.path.exists(local):
-                obstore.stash_file(local, key)
-        ctx.log.info("objectStore: outputs stashed to %s", spec)
+    _stash_ready()
     from ..utils.runtime import rusage
 
     ru = rusage()

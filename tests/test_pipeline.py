@@ -151,3 +151,21 @@ def test_read_type_profiles():
     cfg3 = Config()
     cfg3.apply_read_type_profile()
     assert cfg3.get("obtOvlErrorRate") == 0.045
+    # meta keys (rawErrorRate/correctedErrorRate) set explicitly survive
+    # the profile, as do the members they fan out to (the reference marks
+    # fanned members as set, Defaults.pm setGlobalIfUndef)
+    cfg4 = Config()
+    cfg4.set("rawErrorRate", 0.25)
+    cfg4.set("correctedErrorRate", 0.06)
+    cfg4.apply_read_type_profile()
+    assert cfg4.get("rawErrorRate") == 0.25
+    assert cfg4.get("corOvlErrorRate") == 0.25
+    assert cfg4.get("correctedErrorRate") == 0.06
+    assert cfg4.get("obtOvlErrorRate") == 0.06
+    assert cfg4.get("utgOvlErrorRate") == 0.06
+    # tag fan-out marks members explicit too
+    cfg5 = Config()
+    cfg5.set("ovlErrorRate", 0.11)
+    cfg5.apply_read_type_profile()
+    assert cfg5.get("corOvlErrorRate") == 0.11
+    assert cfg5.get("utgOvlErrorRate") == 0.11
