@@ -66,6 +66,9 @@ class Config:
         self.registry: dict[str, Param] = {}  # lowercase key -> Param
         self.values: dict[str, Any] = {}
         self.explicit: set[str] = set()
+        # keys assigned via meta/tag fan-out: user-touched (a profile
+        # must not overwrite them) but not pinned (a later fan-out can)
+        self.fanned: set[str] = set()
         self._register_all()
 
     # ---- registration ----
@@ -186,15 +189,16 @@ class Config:
         prof = self.READ_TYPE_PROFILES.get(str(self.get("readType")))
         if not prof:
             return
+        touched = self.explicit | self.fanned
         for key, value in prof.items():
             lk = key.lower()
             if lk in ("rawerrorrate", "correctederrorrate"):
-                # meta keys fan out to group members; respect explicit
+                # meta keys fan out to group members; respect touched
                 # members inside set()
-                if lk not in self.explicit:
+                if lk not in touched:
                     self.values[lk] = float(value)
                 continue
-            if lk not in self.explicit:
+            if lk not in touched:
                 self.values[lk] = self.registry[lk].type(value)
 
     # ---- sensitivity presets (OverlapMhap.pm:109-132 equivalents) ----
@@ -224,17 +228,19 @@ class Config:
 
     def set(self, key: str, value: Any) -> None:
         lk = key.lower()
-        # meta parameters set groups; the meta key AND the members it
-        # assigns become explicit so a later read-type profile cannot
-        # overwrite them (reference marks fanned members as set, so
-        # setGlobalIfUndef profile application preserves them)
+        # meta parameters set groups; the meta key becomes explicit and
+        # the members it assigns are marked user-touched (fanned), so a
+        # later read-type profile cannot overwrite them (the reference
+        # marks fanned members as set, so its setGlobalIfUndef profile
+        # application preserves them) — but a later fan-out CAN re-set
+        # them, matching reference setGlobal semantics
         if lk == "rawerrorrate":
             v = float(value)
             self.values[lk] = v
             self.explicit.add(lk)
             if "corovlerrorrate" not in self.explicit:
                 self.values["corovlerrorrate"] = v
-                self.explicit.add("corovlerrorrate")
+                self.fanned.add("corovlerrorrate")
             return
         if lk == "correctederrorrate":
             v = float(value)
@@ -243,7 +249,7 @@ class Config:
             for t in ("obt", "utg"):
                 if f"{t}ovlerrorrate" not in self.explicit:
                     self.values[f"{t}ovlerrorrate"] = v
-                    self.explicit.add(f"{t}ovlerrorrate")
+                    self.fanned.add(f"{t}ovlerrorrate")
             return
         # tag fan-out: bare base name sets all three tags
         fanned = False
@@ -252,7 +258,7 @@ class Config:
             if tk and tk in self.registry:
                 if tk not in self.explicit:
                     self.values[tk] = self.registry[tk].type(value)
-                    self.explicit.add(tk)
+                    self.fanned.add(tk)
                 fanned = True
         if fanned:
             return

@@ -36,7 +36,6 @@ from ..utils import bitpack
 from .votepile import (
     VoteJobs,
     _finalize_plurality,
-    block_geometry,
     decode_pieces,
     device_words,
     pile_votes,
@@ -124,20 +123,132 @@ def evidence_vote_jobs(
     )
 
 
-def template_blocks(lengths: np.ndarray, template_ids: np.ndarray):
-    """Group templates (longest first) into device vote blocks.
+# Canonical vote geometry: templates are cut into fixed VOTE_SEG-base
+# segments that become template rows of the vote engine — ONE small
+# always-warm compiled shape regardless of read length, exactly like
+# consensus.polish_tig.  Round-2's whole-read geometry (Lt = pow2 of the
+# longest template, 8192 for 7.8 kb reads) FAULTED the TPU at bacterial
+# scale: the lean DP's forward-row store is [n_rows+1, B, band] bytes =
+# 537 MB per chunk at n_rows=8192, and the device never survived a
+# block.  At 2048 it is 134 MB and the scan is 4x shorter.
+VOTE_SEG = 2048
+# evidence slack at interior cut points: segment-boundary evidence
+# coordinates are linear interpolations of the overlap's endpoints, so
+# the true path enters the window up to the local indel drift away;
+# slack must stay below band//2 so row 0 of the band covers it
+VOTE_SEG_SLACK = 96
 
-    Returns [(tids, G, Lt), ...]; ALL blocks share one (G, Lt) geometry
-    sized for the longest template.  Remote-TPU compiles of the vote
-    program run minutes-to-tens-of-minutes per shape (measured on the
-    axon tunnel), so one geometry per run — short templates wasting
-    padded columns — beats per-block geometries by the clock."""
-    order = np.argsort(-lengths[template_ids - 1], kind="stable")
-    tids = template_ids[order]
-    if len(tids) == 0:
-        return []
-    G, Lt = block_geometry(int(lengths[tids[0] - 1]))
-    return [(tids[i : i + G], G, Lt) for i in range(0, len(tids), G)]
+
+def _segment_table(lengths: np.ndarray, template_ids: np.ndarray, S: int):
+    """Per-template segment counts and row offsets (template_ids order)."""
+    tl = lengths[template_ids - 1].astype(np.int64)
+    nseg = np.maximum(1, -(-tl // S)).astype(np.int64)
+    row0 = np.zeros(len(template_ids) + 1, np.int64)
+    np.cumsum(nseg, out=row0[1:])
+    return tl, nseg, row0
+
+
+def _segment_plane(rs: ReadSet, template_ids: np.ndarray, nseg: np.ndarray,
+                   row0: np.ndarray, S: int):
+    """Device plane of template segments: [R(pow2), S/16] packed words.
+
+    Segments are word-aligned slices of the read words (S % 16 == 0), so
+    the plane is a pure columnar gather — no unpack/repack.  Rows are
+    pow2-padded for jit-cache stability; the last row is all-zero pad.
+    Returns (t_words_dev, seg_len_dev, seg_len_host, pad_row)."""
+    import jax.numpy as jnp
+
+    from ..utils.bitpack import BASES_PER_WORD
+
+    SW = S // BASES_PER_WORD
+    n_total = int(row0[-1])
+    seg_t = np.repeat(np.arange(len(template_ids)), nseg)  # template order idx
+    seg_k = np.arange(n_total) - np.repeat(row0[:-1], nseg)
+    tid0 = template_ids[seg_t].astype(np.int64) - 1
+    seg_len = np.minimum(
+        S, rs.length[tid0].astype(np.int64) - seg_k * S
+    ).astype(np.int32)
+    src_w0 = rs.word_off[tid0] + seg_k * SW
+    nw = (seg_len.astype(np.int64) + BASES_PER_WORD - 1) // BASES_PER_WORD
+    col = np.arange(SW, dtype=np.int64)
+    idx = src_w0[:, None] + col[None, :]
+    valid = col[None, :] < nw[:, None]
+    words_src = np.asarray(rs.words)
+    plane_rows = np.where(
+        valid, words_src[np.clip(idx, 0, len(words_src) - 1)], np.uint32(0)
+    ).astype(np.uint32)
+    R = max(1024, 1 << max(0, int(n_total).bit_length()))
+    plane = np.zeros((R, SW), np.uint32)
+    plane[:n_total] = plane_rows
+    len_plane = np.zeros(R, np.int32)
+    len_plane[:n_total] = seg_len
+    return jnp.asarray(plane), jnp.asarray(len_plane), seg_len, R - 1
+
+
+def _segment_jobs(jobs: VoteJobs, row0: np.ndarray, tpos: np.ndarray,
+                  S: int, slack: int) -> VoteJobs:
+    """Split evidence jobs at template segment boundaries (columnar).
+
+    t_idx of the result indexes SEGMENT PLANE rows.  Interior cut
+    points get linearly interpolated evidence coordinates, widened by
+    ``slack`` (the alignment is ends-free, so extra evidence at a cut
+    costs nothing; too little would force-fit the path)."""
+    t_end = (jobs.t_bgn + jobs.t_span).astype(np.int64)
+    t_bgn = jobs.t_bgn.astype(np.int64)
+    k0 = t_bgn // S
+    k1 = np.maximum(t_bgn, t_end - 1) // S
+    cnt = (k1 - k0 + 1).astype(np.int64)
+    J = np.repeat(np.arange(len(jobs)), cnt)
+    k = k0[J] + (np.arange(len(J)) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+    a = np.maximum(t_bgn[J], k * S)
+    b = np.minimum(t_end[J], (k + 1) * S)
+    sp = np.maximum(jobs.t_span[J].astype(np.int64), 1)
+    e_lo = jobs.e_lo[J].astype(np.int64)
+    e_span = jobs.e_span[J].astype(np.int64)
+    ej_a = e_lo + (a - t_bgn[J]) * e_span // sp
+    ej_b = e_lo + (b - t_bgn[J]) * e_span // sp
+    e_b = np.maximum(ej_a - np.where(a > t_bgn[J], slack, 0), e_lo)
+    e_e = np.minimum(ej_b + np.where(b < t_end[J], slack, 0), e_lo + e_span)
+    keep = (b > a) & (e_e > e_b)
+    seg_row = (row0[tpos[jobs.t_idx[J] + 1]] + k).astype(np.int32)
+    return VoteJobs(
+        t_idx=seg_row[keep],
+        e_idx=jobs.e_idx[J][keep],
+        t_bgn=(a - k * S)[keep].astype(np.int32),
+        t_span=(b - a)[keep].astype(np.int32),
+        e_lo=e_b[keep].astype(np.int32),
+        e_span=(e_e - e_b)[keep].astype(np.int32),
+        flipped=jobs.flipped[J][keep],
+        slot=np.zeros(int(keep.sum()), np.int32),  # filled per chapter
+        weight=None if jobs.weight is None else jobs.weight[J][keep],
+    )
+
+
+def _pack_template_blocks(template_ids: np.ndarray, tl: np.ndarray,
+                          nseg: np.ndarray, G: int) -> list[np.ndarray]:
+    """Pack whole templates (longest first) into blocks of <= G segments.
+
+    A template with more than G segments gets a dedicated block (its
+    chapters are looped inside run_vote_blocks).  Returns a list of
+    template-order-index arrays — the job-array partition the reference
+    computes in CorrectReads.pm:122-141."""
+    order = np.argsort(-tl, kind="stable")
+    blocks: list[np.ndarray] = []
+    cur: list[int] = []
+    cur_n = 0
+    for i in order:
+        k = int(nseg[i])
+        if k > G:
+            blocks.append(np.array([i], dtype=np.int64))
+            continue
+        if cur_n + k > G:
+            blocks.append(np.array(cur, dtype=np.int64))
+            cur, cur_n = [], 0
+        cur.append(int(i))
+        cur_n += k
+    if cur:
+        blocks.append(np.array(cur, dtype=np.int64))
+    return blocks
 
 
 def run_vote_blocks(
@@ -148,47 +259,100 @@ def run_vote_blocks(
     finalize,
     skip=frozenset(),
 ):
-    """Shared block loop: group templates, pile votes per block on device,
-    finalize (a callable (words, lengths, t_idx, votes, Lt, n_live) ->
-    device array [G, Lt, ...]), yield (block_index, tids, host_result)
-    per block.  Block indices are deterministic for a given (readset,
-    template selection); ``skip`` suppresses all device work for those
-    indices (resume support — the reference re-runs only failed array
-    elements, Execution.pm convertToJobRange)."""
-    words_d, len_d = device_words(rs)
-    pad_row = rs.n_reads  # trailing all-zero row of the device planes
-    blocks = template_blocks(rs.length, template_ids)
-    slot_of = np.zeros(rs.n_reads + 1, np.int32)
-    block_of = np.full(rs.n_reads + 1, -1, np.int32)
-    for bi, (bt, G, Lt) in enumerate(blocks):
-        block_of[bt] = bi
-        slot_of[bt] = np.arange(len(bt), dtype=np.int32)
-    jb = block_of[jobs.t_idx + 1]
-    order = np.argsort(jb, kind="stable")
-    bounds = np.searchsorted(jb[order], np.arange(len(blocks) + 1))
+    """Shared block loop on the canonical segment geometry.
+
+    Cuts templates into VOTE_SEG-base segments, piles votes per block of
+    <= G segments on device, finalizes (a callable (t_words, t_lens,
+    t_idx, votes, Lt) -> device array [G, Lt]), stitches segment rows
+    back into full-read rows, and yields (block_index, tids,
+    rows2d[len(tids), max_len]) per block.  Block indices are
+    deterministic for a given (readset, template selection); ``skip``
+    suppresses all device work for those indices (resume support — the
+    reference re-runs only failed array elements, Execution.pm
+    convertToJobRange)."""
     import jax.numpy as jnp
 
-    for bi, (bt, G, Lt) in enumerate(blocks):
-        if bi in skip:
-            continue
-        take = order[bounds[bi] : bounds[bi + 1]]
-        block_jobs = VoteJobs(
-            t_idx=jobs.t_idx[take],
-            e_idx=jobs.e_idx[take],
-            t_bgn=jobs.t_bgn[take],
-            t_span=jobs.t_span[take],
-            e_lo=jobs.e_lo[take],
-            e_span=jobs.e_span[take],
-            flipped=jobs.flipped[take],
-            slot=slot_of[jobs.t_idx[take] + 1],
-            weight=None if jobs.weight is None else jobs.weight[take],
+    S, slack = VOTE_SEG, VOTE_SEG_SLACK
+    from .votepile import BLOCK_POS_BUDGET
+
+    G = max(8, min(256, BLOCK_POS_BUDGET // S))
+    words_d, len_d = device_words(rs)
+    tl, nseg, row0 = _segment_table(rs.length, template_ids, S)
+    tpos = np.zeros(rs.n_reads + 1, np.int64)
+    tpos[template_ids] = np.arange(len(template_ids))
+    t_words, t_len_d, seg_len, pad_row = _segment_plane(
+        rs, template_ids, nseg, row0, S
+    )
+    sjobs = _segment_jobs(jobs, row0, tpos, S, slack)
+
+    blocks = _pack_template_blocks(template_ids, tl, nseg, G)
+    n_total = int(row0[-1])
+    # seg row -> (global chapter, slot): chapters are consecutive
+    # G-slices of each block's segment-row list
+    chap_of = np.zeros(n_total, np.int64)
+    slot_of = np.zeros(n_total, np.int32)
+    chapters_per_block: list[int] = []
+    gchap = 0
+    for tsel in blocks:
+        seg_rows = np.concatenate(
+            [np.arange(row0[i], row0[i] + nseg[i]) for i in tsel]
         )
-        votes = pile_votes(words_d, len_d, words_d, len_d, block_jobs, G, Lt,
-                           band=band)
-        t_idx_block = np.full(G, pad_row, np.int32)
-        t_idx_block[: len(bt)] = bt - 1
-        res = finalize(words_d, len_d, jnp.asarray(t_idx_block), votes, Lt)
-        yield bi, bt, np.asarray(res)
+        n_ch = -(-len(seg_rows) // G)
+        for c in range(n_ch):
+            ch = seg_rows[c * G : (c + 1) * G]
+            chap_of[ch] = gchap
+            slot_of[ch] = np.arange(len(ch), dtype=np.int32)
+            gchap += 1
+        chapters_per_block.append(n_ch)
+    jc = chap_of[sjobs.t_idx]
+    order = np.argsort(jc, kind="stable")
+    bounds = np.searchsorted(jc[order], np.arange(gchap + 1))
+
+    gchap = 0
+    for bi, tsel in enumerate(blocks):
+        n_ch = chapters_per_block[bi]
+        if bi in skip:
+            gchap += n_ch
+            continue
+        seg_rows = np.concatenate(
+            [np.arange(row0[i], row0[i] + nseg[i]) for i in tsel]
+        )
+        chapter_res: list[np.ndarray] = []
+        for c in range(n_ch):
+            ch = seg_rows[c * G : (c + 1) * G]
+            take = order[bounds[gchap] : bounds[gchap + 1]]
+            gchap += 1
+            cjobs = VoteJobs(
+                t_idx=sjobs.t_idx[take],
+                e_idx=sjobs.e_idx[take],
+                t_bgn=sjobs.t_bgn[take],
+                t_span=sjobs.t_span[take],
+                e_lo=sjobs.e_lo[take],
+                e_span=sjobs.e_span[take],
+                flipped=sjobs.flipped[take],
+                slot=slot_of[sjobs.t_idx[take]],
+                weight=None if sjobs.weight is None else sjobs.weight[take],
+            )
+            votes = pile_votes(t_words, t_len_d, words_d, len_d, cjobs, G, S,
+                               band=band, ends_free=True)
+            t_idx_block = np.full(G, pad_row, np.int32)
+            t_idx_block[: len(ch)] = ch
+            res = finalize(t_words, t_len_d, jnp.asarray(t_idx_block), votes, S)
+            chapter_res.append(np.asarray(res))
+        # stitch segment rows back into full-read rows
+        max_len = int(tl[tsel].max())
+        dt = chapter_res[0].dtype if chapter_res else np.uint16
+        rows2d = np.zeros((len(tsel), max_len), dt)
+        pos = 0  # running index into the block's seg_rows
+        for g, i in enumerate(tsel):
+            off = 0
+            for _k in range(int(nseg[i])):
+                c, s = divmod(pos, G)
+                sl = int(seg_len[row0[i] + _k])
+                rows2d[g, off : off + sl] = chapter_res[c][s, :sl]
+                off += sl
+                pos += 1
+        yield bi, template_ids[tsel], rows2d
 
 
 def correct_reads(

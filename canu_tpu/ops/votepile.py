@@ -374,10 +374,14 @@ def block_geometry(max_t_len: int) -> tuple[int, int]:
     return G, Lt
 
 
-# chunks folded into one device dispatch (tunnel round-trips per dispatch
-# dominate wall clock on a remote TPU; 8 amortizes them without blowing
-# up the padding waste of small blocks)
-CHUNKS_PER_DISPATCH = 8
+# chunks per device dispatch.  MUST stay 1: a real lax.scan over chunks
+# (CP>=8 measured, likely any CP>1 that XLA doesn't unroll) FAULTS the
+# TPU worker — isolated with scripts/bisect_fault.py on 2026-08-21: the
+# identical program passes at CP=1 and on CPU at any CP, and a fault
+# wedges the whole device for 5-15 min.  Dispatches are async (only the
+# finalize fetch syncs), so per-chunk dispatch costs no extra tunnel
+# round-trips; one CP also means ONE compiled vote shape instead of two.
+CHUNKS_PER_DISPATCH = 1
 
 _COL_FIELDS = ("t_idx", "e_idx", "t_bgn", "t_span", "e_lo", "e_span",
                "flipped", "slot", "weight")
@@ -423,13 +427,11 @@ def pile_votes(
         if pad_n:
             v = np.concatenate([v, np.zeros(pad_n, np.int32)])
         packed[:, fi, :] = v.reshape(C_total, B)
-    # full groups of CHUNKS_PER_DISPATCH, tail as single-chunk
-    # dispatches: exactly TWO compiled shapes per block geometry, and no
-    # padded-chunk compute (pad jobs still run the DP — a padded CHUNK
-    # would multiply that waste 8x on small blocks)
+    # one chunk per dispatch (see CHUNKS_PER_DISPATCH): dispatches are
+    # async, so the host loop races ahead and the device queue stays full
     c0 = 0
     while c0 < C_total:
-        CP = CHUNKS_PER_DISPATCH if C_total - c0 >= CHUNKS_PER_DISPATCH else 1
+        CP = CHUNKS_PER_DISPATCH
         chunk = packed[c0 : c0 + CP]
         votes = _vote_many(
             votes, t_words, t_lengths, e_words, e_lengths,

@@ -86,3 +86,37 @@ def rusage() -> dict:
         "stime_s": ru.ru_stime,
         "max_rss_mb": ru.ru_maxrss / 1024.0,
     }
+
+
+def wait_device_healthy(max_wait_s: float = 1200.0, probe_timeout_s: float = 90.0) -> bool:
+    """Block until the accelerator answers a trivial program, probing in
+    SUBPROCESSES (a wedged device hangs the probing process itself, so
+    an in-process check could never time out).
+
+    A TPU kernel fault wedges the device for 5-15 minutes (measured on
+    the axon tunnel 2026-08-21: every claim hangs until the pool
+    recycles the worker).  The reference's executive relaunches failed
+    grid jobs blindly (Execution.pm retry loop); on a wedged accelerator
+    that burns whole attempts, so the relaunch loop calls this first.
+    Returns True when healthy, False when max_wait_s elapsed.
+    """
+    import subprocess
+
+    prog = (
+        "import jax, jax.numpy as jnp;"
+        "print(float(jnp.sum(jnp.ones((8,8))@jnp.ones((8,8)))), flush=True)"
+    )
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", prog],
+                timeout=probe_timeout_s, capture_output=True, text=True,
+            )
+            if r.returncode == 0 and "512" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        time.sleep(30.0)

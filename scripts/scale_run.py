@@ -74,10 +74,20 @@ def main() -> None:
             print(f"# attempt {attempt} timed out after {attempt_timeout}s "
                   f"(wedged device fetch?) — relaunching with resume", flush=True)
             rc = -9
-            continue
         if rc == 0:
             break
         print(f"# attempt {attempt} exited rc={rc} — relaunching", flush=True)
+        # a TPU kernel fault wedges the device for 5-15 min; probing in a
+        # subprocess until it answers beats burning attempts on a dead chip
+        from canu_tpu.utils.runtime import wait_device_healthy
+
+        t_w = time.time()
+        if wait_device_healthy():
+            print(f"# device healthy again after {time.time()-t_w:.0f}s wait",
+                  flush=True)
+        else:
+            print("# device still wedged after max wait — trying anyway",
+                  flush=True)
     if rc != 0:
         print(f"# pipeline FAILED after {max_attempts} attempts", flush=True)
         sys.exit(1)
