@@ -49,7 +49,10 @@ def quick_mosaic(readset: ReadSet, tig: Tig) -> np.ndarray:
     return np.concatenate(out)
 
 
-_POLISH_SEG = 4096  # backbone segment length (device template rows)
+# backbone segment length == the vote engine's canonical template
+# segment, so polish and correction share one compiled vote program
+# (canu_tpu.ops.falcon.VOTE_SEG)
+_POLISH_SEG = 2048
 
 
 def polish_tig(
@@ -175,14 +178,12 @@ def _polish_round(
     t_ab, t_span = t_ab[ok], t_span[ok]
     e_b, e_span = e_b[ok], e_span[ok]
 
-    # template plane: the segments themselves
+    # template plane: the segments themselves (canonical shape family)
     n_seg = (B_len + S - 1) // S
     seg_codes = [backbone[j * S : min((j + 1) * S, B_len)] for j in range(n_seg)]
-    from .votepile import device_words
+    from .votepile import segment_codes_plane
 
-    tmp_rs = ReadSet.from_codes_list(seg_codes)
-    t_words, t_len_d = device_words(tmp_rs)
-    pad_row = tmp_rs.n_reads
+    t_words, t_len_d, pad_row = segment_codes_plane(seg_codes, S)
 
     Lt = _pow2_at_least(S)
     G = max(8, min(256, BLOCK_POS_BUDGET // Lt))

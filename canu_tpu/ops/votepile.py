@@ -205,34 +205,27 @@ def _vote_many(
     votes: jax.Array,  # f32[G, 15, Lt] accumulator (donated)
     t_words: jax.Array, t_lengths: jax.Array,
     e_words: jax.Array, e_lengths: jax.Array,
-    packed_cols: jax.Array,  # int32[C, 9, B]: job columns, weight bitcast
+    packed_cols: jax.Array,  # int32[9, B]: job columns, weight bitcast
     band: int, n_rows: int, Lt: int, G: int,
     ends_free: bool = False,
 ) -> jax.Array:
-    """C chunks of evidence jobs in ONE dispatch (lax.scan over chunks).
+    """One chunk of evidence jobs per dispatch — NO outer lax.scan.
 
-    The remote-TPU tunnel charges a round-trip per dispatch and per
-    host->device transfer; ONE packed upload + one dispatch per C chunks
-    replaces 9 uploads + 1 dispatch per chunk.  Peak memory stays one
-    chunk's DP state (the scan body is the old per-chunk program)."""
-
-    def body(v, xs):
-        t_idx, e_idx, t_bgn, t_span, e_lo, e_span = (
-            xs[0], xs[1], xs[2], xs[3], xs[4], xs[5]
-        )
-        flipped = xs[6] != 0
-        slot = xs[7]
-        weight = jax.lax.bitcast_convert_type(xs[8], jnp.float32)
-        v = _vote_chunk_core(
-            v, t_words, t_lengths, e_words, e_lengths,
-            t_idx, e_idx, t_bgn, t_span, e_lo, e_span, flipped, slot,
-            weight,
-            band=band, n_rows=n_rows, Lt=Lt, G=G, ends_free=ends_free,
-        )
-        return v, None
-
-    votes, _ = jax.lax.scan(body, votes, packed_cols)
-    return votes
+    A lax.scan over chunks wraps the align kernel's internal scan in a
+    second loop level; on this TPU runtime scan-in-scan FAULTS at scan
+    length >= 8 and runs ~80x slower even at length 1 (measured
+    scripts/profile_ablate.py vs profile_chunks.py, 2026-08-21: 0.85 s
+    unwrapped vs 69 s wrapped).  Dispatches are async, so per-chunk
+    dispatch costs no extra tunnel round-trips."""
+    xs = packed_cols
+    flipped = xs[6] != 0
+    slot = xs[7]
+    weight = jax.lax.bitcast_convert_type(xs[8], jnp.float32)
+    return _vote_chunk_core(
+        votes, t_words, t_lengths, e_words, e_lengths,
+        xs[0], xs[1], xs[2], xs[3], xs[4], xs[5], flipped, slot, weight,
+        band=band, n_rows=n_rows, Lt=Lt, G=G, ends_free=ends_free,
+    )
 
 
 def _template_codes(t_words, t_lengths, t_idx, Lt: int):
@@ -429,15 +422,11 @@ def pile_votes(
         packed[:, fi, :] = v.reshape(C_total, B)
     # one chunk per dispatch (see CHUNKS_PER_DISPATCH): dispatches are
     # async, so the host loop races ahead and the device queue stays full
-    c0 = 0
-    while c0 < C_total:
-        CP = CHUNKS_PER_DISPATCH
-        chunk = packed[c0 : c0 + CP]
+    for c0 in range(C_total):
         votes = _vote_many(
             votes, t_words, t_lengths, e_words, e_lengths,
-            jnp.asarray(chunk), band_c, n_rows, Lt, G, ends_free,
+            jnp.asarray(packed[c0]), band_c, n_rows, Lt, G, ends_free,
         )
-        c0 += CP
     return votes
 
 
@@ -480,6 +469,28 @@ def _interleave2(bases, keep, ins, ins_call, ins2, ins2_call) -> np.ndarray:
     kk = np.flatnonzero(keep)
     out[off[kk] + ins[kk] + ins2[kk]] = bases[kk]
     return out
+
+
+def segment_codes_plane(seg_codes, S: int):
+    """Device plane for host code segments (<= S bases each): packed
+    words [R(pow2 >= 1024), S/16] + lengths + pad row index.
+
+    Shares the canonical shape family of falcon._segment_plane, so
+    consensus polish and correction hit the SAME compiled vote program.
+    """
+    from ..utils.bitpack import BASES_PER_WORD, pack_codes
+
+    SW = S // BASES_PER_WORD
+    n = len(seg_codes)
+    R = max(1024, 1 << max(0, int(n).bit_length()))  # always > n
+    plane = np.zeros((R, SW), np.uint32)
+    lens = np.zeros(R, np.int32)
+    for i, c in enumerate(seg_codes):
+        if len(c):
+            w = pack_codes(np.asarray(c, np.uint8))
+            plane[i, : len(w)] = w
+        lens[i] = len(c)
+    return jnp.asarray(plane), jnp.asarray(lens), R - 1
 
 
 def device_words(rs) -> tuple[jax.Array, jax.Array]:
