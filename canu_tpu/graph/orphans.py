@@ -12,8 +12,11 @@ Placement is by overlap projection: each overlap (r in small tig, b in
 target tig) maps r's full extent into target-tig coordinates through
 b's placement, the same arithmetic the reference does with
 PlaceReadUsingOverlaps (AS_BAT_PlaceReadUsingOverlaps.C).  The best
-scoring overlap wins; placements must agree (median filter) for the
-orphan to merge.
+scoring overlap wins.
+
+All store-wide work — target voting and best-overlap placement — runs
+in single columnar passes; only the final commit loop (which must
+respect merge ordering) iterates over candidate tigs.
 """
 
 from __future__ import annotations
@@ -25,53 +28,89 @@ from ..stores.tigs import CLASS_BUBBLE, CLASS_CONTIG, Tig, TigStore
 from .repeats import tig_read_index
 
 
-def _place_read_in_tig(
+def _vote_targets(
+    store: OverlapStore, tig_of: np.ndarray, candidate: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distinct (read, target-tig) votes grouped by (source tig, target).
+
+    candidate[t] marks small source tigs.  Returns (src_tig, dst_tig,
+    votes) for every cross-tig pair with at least one voting read —
+    one columnar pass (the per-read np.unique of the old implementation
+    collapsed into a store-wide unique of (read, target) keys)."""
+    a_t = tig_of[store.a_id]
+    b_t = tig_of[store.b_id]
+    sel = candidate[a_t] & (b_t > 0) & (b_t != a_t)
+    if not sel.any():
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    a = store.a_id[sel].astype(np.int64)
+    t = b_t[sel].astype(np.int64)
+    T = int(tig_of.max()) + 1
+    rt = np.unique(a * T + t)  # distinct (read, target) pairs
+    reads = rt // T
+    targets = rt % T
+    src = tig_of[reads].astype(np.int64)
+    st_key = np.unique(src * T + targets, return_counts=True)
+    return st_key[0] // T, st_key[0] % T, st_key[1]
+
+
+def _place_reads_in_targets(
     store: OverlapStore,
-    r: int,
-    target: int,
+    read_ids: np.ndarray,
+    target_of_read: np.ndarray,
     tig_of: np.ndarray,
     p_lo: np.ndarray,
     p_hi: np.ndarray,
     p_rev: np.ndarray,
-    read_len: int,
+    read_lengths: np.ndarray,
 ):
-    """Best-overlap projection of read r into tig `target`.
+    """Best-overlap projection of each read into its assigned target tig.
 
-    Returns (t_lo, t_hi, rev, score) or None.  Coordinates may run past
-    the tig ends (clamped by the caller); rev is r's orientation in the
-    tig.
-    """
-    s, e = store.row_range(r)
-    if s == e:
-        return None
-    b = store.b_id[s:e]
-    sel = tig_of[b] == target
-    if not sel.any():
-        return None
-    idx = np.flatnonzero(sel)
-    span = (store.a_end[s:e][sel] - store.a_bgn[s:e][sel]).astype(np.float64)
-    score = span * (1.0 - store.erate[s:e][sel])
-    best = idx[np.argmax(score)]
-    row = s + best
-    bb = int(store.b_id[row])
-    a_bgn, a_end = int(store.a_bgn[row]), int(store.a_end[row])
-    b_bgn, b_end = int(store.b_bgn[row]), int(store.b_end[row])
-    flipped = bool(store.flipped[row])
-    lo_b, hi_b, rev_b = int(p_lo[bb]), int(p_hi[bb]), bool(p_rev[bb])
-    # r extent in b-forward coords
-    if not flipped:
-        y_lo = b_bgn - a_bgn
-        y_hi = y_lo + read_len
-    else:
-        y_hi = b_end + a_bgn
-        y_lo = y_hi - read_len
-    # b-forward -> tig coords through b's placement
-    if not rev_b:
-        t_lo, t_hi = lo_b + y_lo, lo_b + y_hi
-    else:
-        t_lo, t_hi = hi_b - y_hi, hi_b - y_lo
-    rev_r = rev_b ^ flipped
-    return t_lo, t_hi, rev_r, float(score.max())
+    Columnar over the whole store: pick, per read, the highest-scoring
+    overlap row whose b-read sits in target_of_read[read], then project
+    the read's full extent through b's placement.  Returns
+    (placed mask, t_lo, t_hi, rev) aligned with read_ids."""
+    want = np.zeros(store.n_reads + 1, np.int64)
+    want[read_ids] = target_of_read
+    rows = np.flatnonzero(
+        (want[store.a_id] > 0) & (tig_of[store.b_id] == want[store.a_id])
+    )
+    out_placed = np.zeros(store.n_reads + 1, bool)
+    out_lo = np.zeros(store.n_reads + 1, np.int64)
+    out_hi = np.zeros(store.n_reads + 1, np.int64)
+    out_rev = np.zeros(store.n_reads + 1, bool)
+    if len(rows):
+        a = store.a_id[rows]
+        span = (store.a_end[rows] - store.a_bgn[rows]).astype(np.float64)
+        score = span * (1.0 - store.erate[rows])
+        # best row per read: stable sort by (a, score), last of each group
+        order = np.lexsort((score, a))
+        rows_s, a_s = rows[order], a[order]
+        last = np.zeros(len(rows_s), bool)
+        last[:-1] = a_s[1:] != a_s[:-1]
+        last[-1] = True
+        best = rows_s[last]
+        ab = a_s[last].astype(np.int64)
+        bb = store.b_id[best].astype(np.int64)
+        a_bgn = store.a_bgn[best].astype(np.int64)
+        a_end = store.a_end[best].astype(np.int64)
+        b_bgn = store.b_bgn[best].astype(np.int64)
+        b_end = store.b_end[best].astype(np.int64)
+        flip = store.flipped[best].astype(bool)
+        rl = read_lengths[ab - 1].astype(np.int64)
+        # r extent in b-forward coords
+        y_lo = np.where(flip, b_end + a_bgn - rl, b_bgn - a_bgn)
+        y_hi = y_lo + rl
+        # b-forward -> tig coords through b's placement
+        lo_b, hi_b, rev_b = p_lo[bb], p_hi[bb], p_rev[bb]
+        t_lo = np.where(rev_b, hi_b - y_hi, lo_b + y_lo)
+        t_hi = np.where(rev_b, hi_b - y_lo, lo_b + y_hi)
+        out_placed[ab] = True
+        out_lo[ab] = t_lo
+        out_hi[ab] = t_hi
+        out_rev[ab] = rev_b ^ flip
+    return (out_placed[read_ids], out_lo[read_ids], out_hi[read_ids],
+            out_rev[read_ids])
 
 
 def merge_orphans(
@@ -90,44 +129,71 @@ def merge_orphans(
     n_reads = len(read_lengths)
     tig_of, p_lo, p_hi, p_rev = tig_read_index(tigs, n_reads)
     sizes = {t.tig_id: t.length for t in tigs}
+    nreads_of = {t.tig_id: t.n_reads for t in tigs}
+    by_id = {t.tig_id: t for t in tigs}
+
+    candidate = np.zeros(int(tig_of.max()) + 1, bool)
+    for t in tigs:
+        if t.tig_class == CLASS_CONTIG and t.n_reads <= max_orphan_reads:
+            candidate[t.tig_id] = True
+
+    src, dst, votes = _vote_targets(store, tig_of, candidate)
+
+    # chosen target per candidate tig: most-voted larger tig with enough
+    # voting reads (ties: larger vote, then smaller dst for determinism)
+    chosen: dict[int, int] = {}
+    order = np.lexsort((dst, -votes, src))
+    for i in order:
+        s, d, v = int(src[i]), int(dst[i]), int(votes[i])
+        if s in chosen:
+            continue
+        if sizes.get(d, 0) <= sizes[s]:
+            continue
+        if v < place_fraction_bubble * nreads_of[s]:
+            continue
+        chosen[s] = d
+
+    # placements for every read of every candidate, one columnar pass
+    if chosen:
+        cand_reads = np.concatenate(
+            [by_id[s].read_id for s in sorted(chosen)]
+        ).astype(np.int64)
+        tgt_per_read = np.concatenate(
+            [np.full(by_id[s].n_reads, chosen[s], np.int64)
+             for s in sorted(chosen)]
+        )
+        placed, t_lo, t_hi, t_rev = _place_reads_in_targets(
+            store, cand_reads, tgt_per_read, tig_of,
+            p_lo.astype(np.int64), p_hi.astype(np.int64), p_rev,
+            np.asarray(read_lengths),
+        )
+        off = {}
+        o = 0
+        for s in sorted(chosen):
+            off[s] = o
+            o += by_id[s].n_reads
+
+    # commit in decreasing-size order so a tig never merges into an
+    # already-dropped target (chains merge largest-first, as bogart's
+    # iteration effectively does)
     extras: dict[int, list[tuple[int, int, int, bool]]] = {}
     dropped: set[int] = set()
     n_orphan = n_bubble = 0
-
-    for tig in tigs:
-        if tig.tig_class != CLASS_CONTIG or tig.n_reads > max_orphan_reads:
+    for s in sorted(chosen, key=lambda x: -sizes[x]):
+        tig = by_id[s]
+        if chosen[s] in dropped:
             continue
-        # vote for a target: the tig most overlapped by this tig's reads
-        votes: dict[int, int] = {}
-        for r in tig.read_id:
-            s, e = store.row_range(int(r))
-            tt = tig_of[store.b_id[s:e]]
-            for t in np.unique(tt[(tt > 0) & (tt != tig.tig_id)]):
-                t = int(t)
-                if t not in dropped:
-                    votes[t] = votes.get(t, 0) + 1
-        if not votes:
-            continue
-        target, n = max(votes.items(), key=lambda kv: kv[1])
-        if sizes.get(target, 0) <= tig.length or n < place_fraction_bubble * tig.n_reads:
-            continue
-        # try placing every read
-        placements = []
-        for r in tig.read_id:
-            p = _place_read_in_tig(
-                store, int(r), target, tig_of, p_lo, p_hi, p_rev,
-                int(read_lengths[int(r) - 1]),
-            )
-            placements.append(p)
-        placed = [p for p in placements if p is not None]
-        if len(placed) == tig.n_reads:
-            # orphan: move all reads into the target
-            ex = extras.setdefault(target, [])
-            for r, p in zip(tig.read_id, placements):
-                ex.append((int(r), p[0], p[1], p[2]))
-            dropped.add(tig.tig_id)
+        o = off[s]
+        n = tig.n_reads
+        pl = placed[o : o + n]
+        if pl.all():
+            ex = extras.setdefault(chosen[s], [])
+            for k in range(n):
+                ex.append((int(tig.read_id[k]), int(t_lo[o + k]),
+                           int(t_hi[o + k]), bool(t_rev[o + k])))
+            dropped.add(s)
             n_orphan += 1
-        elif len(placed) >= place_fraction_bubble * tig.n_reads:
+        elif pl.sum() >= place_fraction_bubble * n:
             tig.tig_class = CLASS_BUBBLE
             n_bubble += 1
 

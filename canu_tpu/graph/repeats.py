@@ -12,18 +12,20 @@ thresholds -ca/-cp) plus the follow-up cleanup splitDiscontinuous
 Redesign notes (host-side numpy over the device-verified store):
 
   * the reference's AssemblyGraph stores every read's alternate
-    placements; here the placements are PROJECTED on the fly from the
-    symmetric OverlapStore — each overlap row (a in tig T, b elsewhere)
-    projects b's aligned span into T's coordinates, which is exactly the
-    annotation interval markRepeatReads builds;
-  * repeat regions = union of external-evidence projections supported by
-    >= min_evidence distinct external reads;
-  * a region triggers a break only when strictly internal to the tig and
-    a read at its boundary is confused (reference confusedAbsolute /
-    confusedPercent, bogart -ca/-cp, bogart.C:518-529);
+    placements; here the placements are PROJECTED from the symmetric
+    OverlapStore in ONE columnar pass over the whole store — each
+    overlap row (a in tig T, b elsewhere) projects b's aligned span
+    into T's coordinates, which is exactly the annotation interval
+    markRepeatReads builds;
+  * repeat regions = union of external-evidence projections supported
+    by >= min_evidence distinct external reads (vectorized interval
+    merge + distinct count);
+  * per-read best internal/external edge scores are precomputed with
+    segmented maxima over the store's row index (the store is sorted by
+    a_id), so the confused test (-ca/-cp) is a pure array expression;
   * breaks happen between reads: every read keeps one piece (midpoint
-    rule), then splitDiscontinuous re-partitions any piece whose reads no
-    longer tile contiguously.
+    rule), then splitDiscontinuous re-partitions any piece whose reads
+    no longer tile contiguously.
 """
 
 from __future__ import annotations
@@ -59,33 +61,85 @@ def tig_read_index(tigs: TigStore, n_reads: int):
     return tig_of, lo, hi, rev
 
 
-def _project_span(
-    a_bgn: np.ndarray, a_end: np.ndarray,
-    r_lo: np.ndarray, r_hi: np.ndarray, r_rev: np.ndarray,
+def _seg_max(v: np.ndarray, index: np.ndarray, n_reads: int) -> np.ndarray:
+    """out[r] = max(v[index[r]:index[r+1]]) or 0 for empty — reduceat."""
+    out = np.zeros(n_reads + 1, np.float64)
+    if len(v) == 0:
+        return out
+    starts = np.minimum(index[: n_reads + 1], len(v) - 1)
+    red = np.maximum.reduceat(v, starts)
+    nonempty = index[: n_reads + 1] < index[1 : n_reads + 2]
+    out[nonempty] = red[nonempty]
+    return out
+
+
+def read_best_scores(
+    store: OverlapStore, tig_of: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-read (best internal, best external) edge scores, one pass.
+
+    Score = span * (1 - erate), the BestOverlapGraph edge score; an edge
+    is internal when both reads sit in the same tig.
+    """
+    sc = (store.a_end - store.a_bgn).astype(np.float64) * (1.0 - store.erate)
+    a_t = tig_of[store.a_id]
+    internal = (tig_of[store.b_id] == a_t) & (a_t > 0)
+    best_int = _seg_max(np.where(internal, sc, 0.0), store.index, store.n_reads)
+    best_ext = _seg_max(np.where(internal, 0.0, sc), store.index, store.n_reads)
+    return best_int, best_ext
+
+
+def _external_projections(
+    store: OverlapStore,
+    tig_of: np.ndarray,
+    p_lo: np.ndarray,
+    p_hi: np.ndarray,
+    p_rev: np.ndarray,
+    max_erate: float | None = None,
 ):
-    """Map spans on read A (A-forward coords) into tig coords of A."""
-    t_lo = np.where(r_rev, r_hi - a_end, r_lo + a_bgn)
-    t_hi = np.where(r_rev, r_hi - a_bgn, r_lo + a_end)
-    return t_lo, t_hi
+    """All external-evidence rows projected into their a-read's tig.
+
+    Returns (tig_id, t_lo, t_hi, ext_read_id) arrays sorted by tig_id —
+    one columnar pass over the whole symmetric store.
+    """
+    a_t = tig_of[store.a_id]
+    ext = (a_t > 0) & (tig_of[store.b_id] != a_t)
+    if max_erate is not None:
+        ext &= store.erate <= max_erate
+    rows = np.flatnonzero(ext)
+    a = store.a_id[rows]
+    rev = p_rev[a]
+    a_bgn = store.a_bgn[rows].astype(np.int64)
+    a_end = store.a_end[rows].astype(np.int64)
+    t_lo = np.where(rev, p_hi[a] - a_end, p_lo[a] + a_bgn)
+    t_hi = np.where(rev, p_hi[a] - a_bgn, p_lo[a] + a_end)
+    tid = a_t[rows]
+    order = np.argsort(tid, kind="stable")
+    return tid[order], t_lo[order], t_hi[order], store.b_id[rows][order]
 
 
-def _merge_intervals(lo: np.ndarray, hi: np.ndarray, gap: int = 0):
-    """Union of intervals; returns (lo, hi, count) arrays of merged runs."""
+def _merged_regions(lo: np.ndarray, hi: np.ndarray, ids: np.ndarray):
+    """Vectorized interval union + distinct-id count per merged run.
+
+    Each input interval lies in exactly one merged run, so the distinct
+    count per run is a unique-pair count.  Returns (lo, hi, n_distinct).
+    """
     if len(lo) == 0:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64)
+        z = np.zeros(0, np.int64)
+        return z, z, z
     order = np.argsort(lo, kind="stable")
-    lo, hi = lo[order].astype(np.int64), hi[order].astype(np.int64)
-    out_lo, out_hi, out_n = [], [], []
-    cl, ch, cn = int(lo[0]), int(hi[0]), 1
-    for i in range(1, len(lo)):
-        if int(lo[i]) <= ch + gap:
-            ch = max(ch, int(hi[i]))
-            cn += 1
-        else:
-            out_lo.append(cl); out_hi.append(ch); out_n.append(cn)
-            cl, ch, cn = int(lo[i]), int(hi[i]), 1
-    out_lo.append(cl); out_hi.append(ch); out_n.append(cn)
-    return np.array(out_lo), np.array(out_hi), np.array(out_n)
+    lo, hi, ids = lo[order], hi[order], ids[order]
+    cmax = np.maximum.accumulate(hi)
+    new = np.zeros(len(lo), bool)
+    new[0] = True
+    new[1:] = lo[1:] > cmax[:-1]
+    reg = np.cumsum(new) - 1
+    reg_lo = lo[new]
+    reg_hi = np.maximum.reduceat(hi, np.flatnonzero(new))
+    key = reg.astype(np.int64) * (int(ids.max()) + 1) + ids.astype(np.int64)
+    ureg = np.unique(key) // (int(ids.max()) + 1)
+    n_distinct = np.bincount(ureg, minlength=len(reg_lo))
+    return reg_lo.astype(np.int64), reg_hi.astype(np.int64), n_distinct
 
 
 def find_repeat_regions(
@@ -96,72 +150,24 @@ def find_repeat_regions(
     min_region: int = 100,
     max_erate: float | None = None,
 ) -> list[RepeatRegion]:
-    """External-evidence repeat annotation for one tig.
-
-    Every overlap from a tig read to a read placed in a DIFFERENT tig (or
-    unplaced) projects its aligned span into tig coordinates; merged
-    projections supported by >= min_evidence distinct external reads are
-    repeat regions (the reference's annotation step,
-    AS_BAT_MarkRepeatReads.C via AssemblyGraph placements).
-    """
-    pos_lo = {int(r): int(b) for r, b in zip(tig.read_id, tig.bgn)}
-    spans_lo, spans_hi, ext_ids = [], [], []
-    rev_map = {int(r): bool(v) for r, v in zip(tig.read_id, tig.rev)}
-    hi_map = {int(r): int(e) for r, e in zip(tig.read_id, tig.end)}
-    for r in tig.read_id:
-        r = int(r)
-        s, e = store.row_range(r)
-        if s == e:
-            continue
-        b = store.b_id[s:e]
-        ext = tig_of[b] != tig.tig_id
-        if max_erate is not None:
-            ext &= store.erate[s:e] <= max_erate
-        if not ext.any():
-            continue
-        a_bgn = store.a_bgn[s:e][ext]
-        a_end = store.a_end[s:e][ext]
-        t_lo, t_hi = _project_span(
-            a_bgn, a_end,
-            np.full(len(a_bgn), pos_lo[r]),
-            np.full(len(a_bgn), hi_map[r]),
-            np.full(len(a_bgn), rev_map[r]),
-        )
-        spans_lo.append(t_lo)
-        spans_hi.append(t_hi)
-        ext_ids.append(b[ext])
-    if not spans_lo:
-        return []
-    lo = np.concatenate(spans_lo)
-    hi = np.concatenate(spans_hi)
-    ids = np.concatenate(ext_ids)
-    # count DISTINCT external reads per merged region
-    mlo, mhi, _ = _merge_intervals(lo, hi)
-    regions = []
-    for rl, rh in zip(mlo, mhi):
-        inside = (lo < rh) & (hi > rl)
-        n_ev = len(np.unique(ids[inside]))
-        if n_ev >= min_evidence and rh - rl >= min_region:
-            regions.append(RepeatRegion(tig.tig_id, int(rl), int(rh), n_ev, False))
-    return regions
-
-
-def _best_scores(
-    store: OverlapStore, read_id: int, tig_of: np.ndarray, tig_id: int,
-) -> tuple[float, float]:
-    """(best internal score, best external score) for one read.
-
-    Score = span * (1 - erate), the BestOverlapGraph edge score.
-    """
-    s, e = store.row_range(read_id)
-    if s == e:
-        return 0.0, 0.0
-    span = (store.a_end[s:e] - store.a_bgn[s:e]).astype(np.float64)
-    sc = span * (1.0 - store.erate[s:e])
-    internal = tig_of[store.b_id[s:e]] == tig_id
-    best_int = float(sc[internal].max()) if internal.any() else 0.0
-    best_ext = float(sc[~internal].max()) if (~internal).any() else 0.0
-    return best_int, best_ext
+    """External-evidence repeat annotation for one tig (columnar)."""
+    n_reads = store.n_reads
+    p_lo = np.zeros(n_reads + 1, np.int64)
+    p_hi = np.zeros(n_reads + 1, np.int64)
+    p_rev = np.zeros(n_reads + 1, bool)
+    p_lo[tig.read_id] = tig.bgn
+    p_hi[tig.read_id] = tig.end
+    p_rev[tig.read_id] = tig.rev
+    tid, t_lo, t_hi, ext_ids = _external_projections(
+        store, tig_of, p_lo, p_hi, p_rev, max_erate
+    )
+    sel = tid == tig.tig_id
+    mlo, mhi, n_ev = _merged_regions(t_lo[sel], t_hi[sel], ext_ids[sel])
+    keep = (n_ev >= min_evidence) & (mhi - mlo >= min_region)
+    return [
+        RepeatRegion(tig.tig_id, int(a), int(b), int(n), False)
+        for a, b, n in zip(mlo[keep], mhi[keep], n_ev[keep])
+    ]
 
 
 def mark_repeats(
@@ -182,9 +188,21 @@ def mark_repeats(
     AS_BAT_MarkRepeatReads.C:confused test: an external edge within
     `ca` score units AND `cp` percent of the internal edge makes the
     boundary read confused, so the tig cannot be trusted across it).
+
+    All store-wide work (projections, best scores) runs in single
+    columnar passes; the remaining per-tig loop touches only that tig's
+    pre-sliced rows.
     """
     n_reads = len(read_lengths)
-    tig_of, _, _, _ = tig_read_index(tigs, n_reads)
+    tig_of, p_lo, p_hi, p_rev = tig_read_index(tigs, n_reads)
+    tid, t_lo, t_hi, ext_ids = _external_projections(
+        store, tig_of, p_lo.astype(np.int64), p_hi.astype(np.int64), p_rev
+    )
+    best_int, best_ext = read_best_scores(store, tig_of)
+    confused_read = (best_int > 0.0) & (
+        best_ext >= best_int - confused_absolute
+    ) & (best_ext >= best_int * (1.0 - confused_percent / 100.0))
+
     all_regions: list[RepeatRegion] = []
     out = TigStore()
     next_id = 1
@@ -195,9 +213,13 @@ def mark_repeats(
                         tig.tig_class, tig.consensus))
             next_id += 1
             continue
-        regions = find_repeat_regions(
-            tig, store, tig_of, min_evidence, min_region
-        )
+        s, e = np.searchsorted(tid, [tig.tig_id, tig.tig_id + 1])
+        mlo, mhi, n_ev = _merged_regions(t_lo[s:e], t_hi[s:e], ext_ids[s:e])
+        keep = (n_ev >= min_evidence) & (mhi - mlo >= min_region)
+        regions = [
+            RepeatRegion(tig.tig_id, int(a), int(b), int(n), False)
+            for a, b, n in zip(mlo[keep], mhi[keep], n_ev[keep])
+        ]
         tig_len = tig.length
         breaks: list[int] = []
         for reg in regions:
@@ -208,22 +230,11 @@ def mark_repeats(
             if not (internal_l or internal_r):
                 all_regions.append(reg)
                 continue
-            # boundary reads: reads whose placement crosses a region edge
             for edge, is_internal in ((reg.bgn, internal_l), (reg.end, internal_r)):
                 if not is_internal:
                     continue
                 crossing = (tig.bgn < edge) & (tig.end > edge)
-                confused = False
-                for r in tig.read_id[crossing]:
-                    bi, be = _best_scores(store, int(r), tig_of, tig.tig_id)
-                    if bi <= 0.0:
-                        continue
-                    if be >= bi - confused_absolute and be >= bi * (
-                        1.0 - confused_percent / 100.0
-                    ):
-                        confused = True
-                        break
-                if confused:
+                if confused_read[tig.read_id[crossing]].any():
                     breaks.append(int(edge))
                     reg.broke = True
             all_regions.append(reg)

@@ -111,39 +111,63 @@ def write_gfa(
     reference's alignGFA pass (Consensus.pm:583-640)."""
     path = os.fspath(path)
     chosen = [t for t in tigs if (not contigs_only) or t.tig_class == CLASS_CONTIG]
-    # read -> (tig, which end, read orientation in tig)
-    end_of: dict[int, list[tuple[int, str, bool]]] = {}
-    names: dict[int, str] = {}
+    names: dict[int, str] = {t.tig_id: f"tig{t.tig_id:08d}" for t in chosen}
+    # per-read tig-end entries (a read can terminate up to 2 tigs):
+    # columnar tables instead of per-row Python loops — the link pass
+    # below is ONE store-wide mask + 4 vectorized combination passes
+    n_reads = store.n_reads if store is not None else 0
+    ent_tig = np.zeros((2, n_reads + 1), np.int64)  # 0 = none
+    ent_end = np.zeros((2, n_reads + 1), bool)  # True = tig's 'end' side
+    ent_rev = np.zeros((2, n_reads + 1), bool)
+    cnt = np.zeros(n_reads + 1, np.int8)
     for t in chosen:
-        names[t.tig_id] = f"tig{t.tig_id:08d}"
         r0, rev0, r1, rev1 = _end_reads(t)
-        end_of.setdefault(r0, []).append((t.tig_id, "bgn", rev0))
-        if r1 != r0:
-            end_of.setdefault(r1, []).append((t.tig_id, "end", rev1))
+        ends = [(r0, False, rev0)] + ([(r1, True, rev1)] if r1 != r0 else [])
+        for r, is_end, rv in ends:
+            if 0 < r <= n_reads and cnt[r] < 2:
+                c = cnt[r]
+                ent_tig[c, r] = t.tig_id
+                ent_end[c, r] = is_end
+                ent_rev[c, r] = rv
+                cnt[r] += 1
 
     n = 0
-    seen: set[tuple] = set()
     links: list[tuple[int, str, int, str, int]] = []
-    if store is not None:
-        for rid, wh in end_of.items():
-            o = store.overlaps_for(rid)
-            for row in range(len(o["a_id"])):
-                b = int(o["b_id"][row])
-                if b not in end_of:
+    if store is not None and len(store.a_id):
+        is_end_read = cnt > 0
+        rows = np.flatnonzero(is_end_read[store.a_id] & is_end_read[store.b_id])
+        a = store.a_id[rows]
+        b = store.b_id[rows]
+        ov_len = (store.a_end[rows] - store.a_bgn[rows]).astype(np.int64)
+        flip = store.flipped[rows].astype(bool)
+        keys = []
+        recs = []
+        for ia in range(2):
+            for ib in range(2):
+                ta, tb = ent_tig[ia, a], ent_tig[ib, b]
+                ok = (ta > 0) & (tb > 0) & (ta != tb)
+                if not ok.any():
                     continue
-                for ta, enda, reva in wh:
-                    for tb, endb, revb in end_of[b]:
-                        if ta == tb:
-                            continue
-                        ov_len = int(o["a_end"][row] - o["a_bgn"][row])
-                        # orientation: leaving ta via its end means '+'
-                        oa = "+" if (enda == "end") != reva else "-"
-                        ob = "+" if (endb == "bgn") != (revb ^ bool(o["flipped"][row])) else "-"
-                        key = tuple(sorted([(ta, oa), (tb, ob)])) + (ov_len,)
-                        if key in seen:
-                            continue
-                        seen.add(key)
-                        links.append((ta, oa, tb, ob, ov_len))
+                # orientation: leaving ta via its end means '+'
+                oa = ent_end[ia, a] != ent_rev[ia, a]
+                ob = (~ent_end[ib, b]) != (ent_rev[ib, b] ^ flip)
+                ka = ta * 2 + oa
+                kb = tb * 2 + ob
+                klo = np.minimum(ka, kb)
+                khi = np.maximum(ka, kb)
+                M = 2 * (int(max(names) if names else 0) + 2)
+                key = (klo * M + khi) * (int(ov_len.max()) + 1) + ov_len
+                keys.append(key[ok])
+                recs.append(np.stack(
+                    [ta[ok], oa[ok], tb[ok], ob[ok], ov_len[ok]], axis=1))
+        if keys:
+            key = np.concatenate(keys)
+            rec = np.concatenate(recs)
+            _, first = np.unique(key, return_index=True)
+            for i in np.sort(first):
+                ta, oa, tb, ob, ov = rec[i]
+                links.append((int(ta), "+" if oa else "-",
+                              int(tb), "+" if ob else "-", int(ov)))
     erate_of: dict[tuple, float] = {}
     if verify_edges and links:
         refined = align_links(tigs, links)
