@@ -119,12 +119,12 @@ class Config:
         self._reg("corOutCoverage", 40, int, "target coverage of corrected reads to output")
         self._reg("corMaxEvidenceCoverage", 40, int, "cap on evidence reads per corrected read")
         self._reg("corMinEvidenceLength", 0, int, "min evidence overlap length for correction")
-        # reference names (Defaults.pm:881-882).  The reference defaults
-        # BOTH to 1; measured here, coverage 1 keeps single-overlap read
-        # tails that cost ~0.05% contig identity (no QVs exist on
-        # corrected reads to rescue them), so the default is 2 — set
-        # trimReadsCoverage=1 for strict reference parity.
-        self._reg("trimReadsCoverage", 2, int, "min depth of overlap evidence to retain bases in trimming")
+        # reference names and defaults (Defaults.pm:881-882, both 1).
+        # Round 2 used coverage 2 (single-overlap tails cost ~0.05%
+        # identity), but the r3 differential against reference canu
+        # showed coverage 2 + sparse overlaps dropping half the read set;
+        # iterative polish absorbs the tail cost, so match the reference.
+        self._reg("trimReadsCoverage", 1, int, "min depth of overlap evidence to retain bases in trimming (reference trimReads -oc default, OverlapBasedTrimming.pm:57)")
         self._reg("trimReadsOverlap", 1, int, "min overlap between evidence to make a contiguous trim")
         self._reg("qvTrim", True, _bool, "QV clear ranges at gatekeeper for FASTQ inputs (trimReads-quality role)")
         self._reg("qvTrimMinQuality", 7.0, float, "QV trim: min windowed mean phred quality")

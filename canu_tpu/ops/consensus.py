@@ -94,6 +94,22 @@ def polish_tig(
         )
         if n_edits <= max(0, len(backbone) // 100_000):
             break
+    # clip single-read contig ends: a tail covered by only one read is
+    # read-quality sequence plurality voting can never improve (the
+    # trimming stage keeps such tails at the reference's
+    # trimReadsCoverage=1 default), so the final consensus ends at the
+    # last 2-read column.  Single-read tigs keep their full extent.
+    if len(tig.read_id) >= 2 and len(backbone):
+        B_len = len(backbone)
+        delta = np.zeros(B_len + 1, np.int64)
+        lo = np.clip(bgn, 0, B_len)
+        hi = np.clip(end, 0, B_len)
+        np.add.at(delta, lo, 1)
+        np.add.at(delta, hi, -1)
+        depth = np.cumsum(delta[:-1])
+        good = np.flatnonzero(depth >= 2)
+        if len(good):
+            backbone = backbone[good[0] : good[-1] + 1]
     return backbone
 
 

@@ -160,33 +160,60 @@ def _vote_chunk_core(
     m_ins = active & (dj >= 2)
     m_ins2 = active & (dj >= 3)
 
+    # Left-align deletion votes to template homopolymer run starts
+    # (abAbacus mergeRefine role, /root/reference/src/utgcns/libcns/
+    # abAbacus-refine.C): a surplus base in a homopolymer can be deleted
+    # at ANY column of the run, so per-alignment ambiguity spreads the
+    # del votes thin and no single column reaches the majority gate.
+    # Stacking every run's del votes on its first column makes the
+    # plurality see them as one event.
+    iota = jnp.arange(n_rows, dtype=jnp.int32)[None, :]
+    new_run = jnp.concatenate(
+        [jnp.ones((B, 1), bool), t_sub[:, 1:n_rows] != t_sub[:, : n_rows - 1]],
+        axis=1,
+    )
+    s_del = jnp.cumsum(m_del.astype(jnp.int32), axis=1)
+    nxt = jnp.flip(jax.lax.associative_scan(
+        jnp.minimum, jnp.flip(jnp.where(new_run, iota, n_rows), axis=1), axis=1
+    ), axis=1)
+    nxt_excl = jnp.concatenate(
+        [nxt[:, 1:], jnp.full((B, 1), n_rows, jnp.int32)], axis=1)
+    run_total = (
+        jnp.take_along_axis(s_del, jnp.clip(nxt_excl - 1, 0, n_rows - 1), axis=1)
+        - jnp.concatenate([jnp.zeros((B, 1), jnp.int32), s_del[:, :-1]], axis=1)
+    )
+    del_cnt = jnp.where(new_run, jnp.clip(run_total, 0, 15), 0)
+
     # pack each position's vote into one uint16, shift THAT to template
     # coordinates (one log-round pass instead of fifteen), then expand to
-    # the channel one-hots at full width
+    # the channel one-hots at full width.  Deletions carry a 4-bit COUNT
+    # (bits 10-13) at the run-start column instead of a per-column flag.
     code = (
         bchr.astype(jnp.uint16)
         | (ichr.astype(jnp.uint16) << 2)
         | (m_base.astype(jnp.uint16) << 4)
-        | (m_del.astype(jnp.uint16) << 5)
         | (m_ins.astype(jnp.uint16) << 6)
         | (m_ins2.astype(jnp.uint16) << 7)
         | (i2chr.astype(jnp.uint16) << 8)
+        | (del_cnt.astype(jnp.uint16) << 10)
     )
     code = _shift_rows_right(code, t_bgn, Lt)  # [B, Lt]
     cb = code & 3
     ci = (code >> 2) & 3
     has_b = (code >> 4) & 1
-    has_d = (code >> 5) & 1
     has_i = (code >> 6) & 1
     has_i2 = (code >> 7) & 1
     ci2 = (code >> 8) & 3
+    d_cnt = (code >> 10) & 15
     chans = [(has_b == 1) & (cb == c) for c in range(4)]
-    chans.append(has_d == 1)
+    chans.append(d_cnt)  # CH_DEL carries counts, not a flag
     chans.append(has_i == 1)
     chans += [(has_i == 1) & (ci == c) for c in range(4)]
     chans.append(has_i2 == 1)
     chans += [(has_i2 == 1) & (ci2 == c) for c in range(4)]
-    contrib = jnp.stack(chans, axis=1).astype(jnp.bfloat16)  # [B, 15, Lt]
+    contrib = jnp.stack(
+        [c.astype(jnp.bfloat16) for c in chans], axis=1
+    )  # [B, 15, Lt]
     contrib = contrib.reshape(B, N_CH * Lt)
     # weight scales this job's whole contribution (evidence-quality
     # tie-break; ~1-phred granularity survives the bfloat16 cast)
@@ -245,15 +272,15 @@ def _finalize_plurality(
 ):
     """Per-column plurality -> ONE packed uint8 per template column.
 
-    The template votes once for itself; deletes/inserts need a strict
-    majority of coverage.
+    The template does NOT vote for itself: in polish the backbone is a
+    mosaic of the evidence reads, so a self-vote double-counts the
+    originating read and a 2-vs-1 deletion majority fails by exactly
+    one vote (observed: un-removable surplus homopolymer bases at 3x
+    columns); in correction sub-min_cov columns are dropped anyway.
+    Deletes/inserts need a strict majority of coverage.
     """
     t_codes, pos_live = _template_codes(t_words, t_lengths, t_idx, Lt)
-    self_vote = (
-        (t_codes[:, None, :] == jnp.arange(4, dtype=jnp.uint8)[None, :, None])
-        & pos_live[:, None, :]
-    ).astype(jnp.float32)
-    bv = votes[:, CH_BASE : CH_BASE + 4, :] + self_vote  # [G, 4, Lt]
+    bv = votes[:, CH_BASE : CH_BASE + 4, :]  # [G, 4, Lt]
     cov = jnp.sum(bv, axis=1) + votes[:, CH_DEL, :]
     call = jnp.argmax(bv, axis=1).astype(jnp.uint8)
     delete = votes[:, CH_DEL, :] * 2 > cov

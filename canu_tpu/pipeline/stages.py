@@ -138,18 +138,27 @@ def meryl(ctx: AssemblyCtx, tag: str, rs: ReadSet):
         if mode.isdigit():
             fk = K.frequent_kmers(kc, threshold=int(mode))
         elif mode == "auto":
-            # our overlapper is mhap-style, so 'auto' is the reference's
-            # MHAP ignore rule: minCount = filterThreshold * totalMers
-            # where totalMers = 2 * distinct canonical mers
-            # (Meryl.pm:672-695); tiny inputs where that rounds below 2
-            # fall back to the distinct-fraction rule
+            # 'auto' starts from the reference's MHAP ignore rule:
+            # minCount = filterThreshold * totalMers where totalMers =
+            # 2 * distinct canonical mers (Meryl.pm:672-695).  BUT the
+            # reference only DOWN-WEIGHTS those mers inside MHAP's
+            # tf-idf (--repeat-weight 0.9); our sketches EXCLUDE them,
+            # so a low threshold (small genomes / corrected reads round
+            # the formula down to ~2) would swallow the genomic bulk
+            # and collapse overlap sensitivity (differential e2e found
+            # median 1 overlap/read at 14x).  Floor the threshold with
+            # the distinct-fraction rule so the ignore set stays a
+            # repeat tail, never the genome.
             thr = int(float(ctx.cfg.get("mhapFilterThreshold")) * 2 * n_distinct)
-            if thr >= 2:
+            thr_floor = K.threshold_from_distinct_fraction(
+                kc, float(ctx.cfg.get(tag + "MerDistinct"))
+            )
+            if thr >= max(2, thr_floor):
                 fk = K.frequent_kmers(kc, threshold=thr)
                 how = "auto(mhap total-fraction)"
             else:
-                fk = by_distinct()
-                how = "auto->distinct-fallback"
+                fk = K.frequent_kmers(kc, threshold=max(2, int(thr_floor)))
+                how = "auto->distinct-floor"
         elif mode == "estimate":
             # valley/peak coverage estimate — the reference's
             # estimate-mer-threshold used by its ovl overlapper

@@ -117,3 +117,93 @@ def test_overlap_recall_vs_reference(refdata):
         f"recall {recall:.3f} ({hit}/{len(ref_pairs)}; "
         f"we found {len(ours)} pairs)"
     )
+
+
+# ---- end-to-end differential: reference canu vs canu_tpu -------------------
+
+
+@pytest.fixture(scope="module")
+def e2edata(tmp_path_factory):
+    """Run BOTH pipelines end-to-end on one corrected-regime read set.
+
+    The reference canu runs its real trimming+assembly phases
+    (-pacbio-corrected skips correction; corOverlapper=ovl bypasses the
+    java/MHAP requirement, /root/reference/src/pipelines/canu.pl
+    checkJava); ours runs the same mode.  Both outputs are judged
+    against the same simulated genome.
+    """
+    import subprocess
+    import sys
+
+    wd = str(tmp_path_factory.mktemp("refe2e"))
+    g = random_genome(40_000, seed=42)
+    rs, _ = simulate_reads(
+        g, coverage=11, mean_len=3500, min_len=1800, max_len=7000,
+        error_rate=0.015, seed=43, circular=False,
+    )
+    fa = os.path.join(wd, "sim.fasta")
+    write_fasta(fa, ((f"read{i}", rs.get_seq(i)) for i in range(1, rs.n_reads + 1)))
+    r = subprocess.run(
+        [os.path.join(RH.REF_BIN, "canu"), "-p", "ref", "-d",
+         os.path.join(wd, "ref"), "genomeSize=40k", "useGrid=false",
+         "gnuplotTested=true", "corOverlapper=ovl", "obtOverlapper=ovl",
+         "utgOverlapper=ovl", "-pacbio-corrected", fa],
+        capture_output=True, text=True, timeout=560,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-m", "canu_tpu", "-p", "tpu", "-d",
+         os.path.join(wd, "tpu"), "genomeSize=40k",
+         "-pacbio-corrected", fa],
+        capture_output=True, text=True, timeout=900, env=env, cwd=repo,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return wd, g
+
+
+def _fasta_lengths(path):
+    from canu_tpu.io.fastx import read_fastx
+
+    return [len(rec.seq) for rec in read_fastx(path)]
+
+
+def test_trimmed_reads_match_reference(e2edata):
+    """Trimming keeps the same read mass as reference trimReads+splitReads
+    (clear ranges compared in aggregate: count and total bases)."""
+    wd, _g = e2edata
+    ref = _fasta_lengths(os.path.join(wd, "ref", "ref.trimmedReads.fasta.gz"))
+    ours = _fasta_lengths(
+        os.path.join(wd, "tpu", "trimming", "tpu.trimmedReads.fasta.gz"))
+    assert abs(len(ours) - len(ref)) <= 0.15 * len(ref), (len(ours), len(ref))
+    rb, ob = sum(ref), sum(ours)
+    assert abs(ob - rb) <= 0.10 * rb, (ob, rb)
+
+
+def test_contigs_match_reference(e2edata):
+    """Contig-level equivalence: both assemblies judged against the same
+    genome — equal contig count, no misjoins, NG50 within 10%."""
+    wd, g = e2edata
+    from canu_tpu.io.fastx import read_fastx
+    from canu_tpu.sim.bogus import evaluate_assembly
+    from canu_tpu.utils import bitpack
+
+    def ev(path):
+        seqs = [bitpack.seq_to_codes(r.seq) for r in read_fastx(path)]
+        return len(seqs), evaluate_assembly(g, seqs, k=21, circular=False)
+
+    n_ref, ev_ref = ev(os.path.join(wd, "ref", "ref.contigs.fasta"))
+    n_tpu, ev_tpu = ev(os.path.join(wd, "tpu", "tpu.contigs.fasta"))
+    assert ev_ref.n_misjoins == 0 and ev_tpu.n_misjoins == 0, (
+        ev_ref.summary(), ev_tpu.summary())
+    # fewer contigs than the reference is BETTER (more contiguous);
+    # never more fragmented
+    assert n_tpu <= n_ref, (n_tpu, n_ref)
+    assert ev_tpu.contig_ng50 >= 0.9 * ev_ref.contig_ng50, (
+        ev_tpu.contig_ng50, ev_ref.contig_ng50)
+    assert ev_tpu.genome_fraction >= ev_ref.genome_fraction - 0.05, (
+        ev_tpu.summary(), ev_ref.summary())
+    assert ev_tpu.identity >= 0.999, ev_tpu.summary()
