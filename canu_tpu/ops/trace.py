@@ -231,9 +231,25 @@ def align_positions_lean(
     ew_ramp = jnp.arange(EW, dtype=jnp.int32)[None, :]
     D_MAX = SMAX * R  # max re-anchor shift
 
+    # one sentinel column so the window can reach e[a-1] even at a == 0
+    # (that lane is only read under valid_dg == False)
+    e_pad = jnp.concatenate([jnp.zeros((B, 1), e.dtype), e], axis=1)
+
     def fetch_ewin(a):
-        idx = jnp.clip(a[:, None] - 1 + ew_ramp, 0, e.shape[1] - 1)
-        return jnp.take_along_axis(e, idx, axis=1)  # [B, EW]
+        # window e[a-1 .. a-1+EW) per row via masked log-shifts of the
+        # sentinel-padded evidence: 2D gathers inside the scan cost
+        # ~1.7ms each on TPU, the shift ladder ~0.1ms (profile_scanstep)
+        x = e_pad
+        j = 0
+        while (1 << j) < x.shape[1]:
+            s = 1 << j
+            sh = jnp.concatenate(
+                [x[:, s:], jnp.zeros((B, s), x.dtype)], axis=1)
+            x = jnp.where((((a >> j) & 1) == 1)[:, None], sh, x)
+            j += 1
+        if x.shape[1] < EW:
+            x = jnp.pad(x, ((0, 0), (0, EW - x.shape[1])))
+        return x[:, :EW]  # [B, EW]: lane x holds e[a - 1 + x]
 
     def shift_rows(Fw, d, left: bool):
         """Per-row shift by d in [0, D_MAX], INF16 fill — log rounds."""

@@ -44,7 +44,7 @@ words_d, len_d = device_words(rs)
 jax.block_until_ready(words_d)
 
 n_rows = S
-B = max(32, min(256, CHUNK_CELL_BUDGET // n_rows))
+B = int(sys.argv[1]) if len(sys.argv) > 1 else max(32, min(256, CHUNK_CELL_BUDGET // n_rows))
 band = 256
 n = 8 * B
 packed = np.zeros((8, 9, B), np.int32)
