@@ -97,7 +97,10 @@ class Config:
 
         self._reg_tagged("ovlErrorRate", {"cor": 0.30, "obt": 0.12, "utg": 0.12}, float,
                          "overlap erate gate for this phase")
-        self._reg_tagged("merSize", {"cor": 16, "obt": 16, "utg": 16}, int,
+        # reference: MHAP correction at k=16, overlapInCore obt/utg at
+        # k=22 (Defaults.pm ovlMerSize=22, mhapMerSize=16) — k=22 runs
+        # on the exact 2-lane packing (ops.kmer extract_kmers2)
+        self._reg_tagged("merSize", {"cor": 16, "obt": 22, "utg": 22}, int,
                          "k-mer size (device kernels support <= 32)")
         self._reg_tagged("mhapSensitivity", {"cor": "auto", "obt": "normal", "utg": "normal"}, str,
                          "sketch sensitivity preset: low|normal|high|auto")

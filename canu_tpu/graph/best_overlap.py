@@ -569,6 +569,10 @@ def build_unitigs(
         if tig.tig_class == CLASS_CONTIG and tig.n_reads < min_reads_per_contig:
             tig.tig_class = CLASS_UNASSEMBLED
 
+    # refine positions from overlap hangs (optimizePositions role) so
+    # consensus sees placements, not walk-accumulated estimates
+    tigs = optimize_positions(tigs, store, read_lengths)
+
     # orphan merge + bubble classification (bogart mergeOrphans,
     # bogart.C:469-478) — moves fully-placeable small tigs into their
     # targets, marks partially-placeable ones CLASS_BUBBLE
@@ -576,3 +580,79 @@ def build_unitigs(
 
     tigs, _, _ = merge_orphans(tigs, store, read_lengths)
     return tigs
+
+
+def optimize_positions(
+    tigs: TigStore,
+    store: OverlapStore,
+    read_lengths: np.ndarray,
+    rounds: int = 8,
+) -> TigStore:
+    """Refine tig coordinates by least-squares over overlap hangs
+    (the reference's optimizePositions pass,
+    /root/reference/src/bogart/AS_BAT_OptimizePositions.C, called from
+    bogart.C:406-456 after placeContains).
+
+    Initial positions are hang-arithmetic estimates accumulated along
+    the greedy walk, so placement error grows with tig length and the
+    consensus stage pays for it in slack and extra polish rounds.  Each
+    in-tig overlap (a, b) pins the tig coordinate of its aligned span
+    from both sides; with read spans held fixed, that is a linear
+    constraint x[a] - x[b] = d, solved by damped weighted-Jacobi
+    iterations — entirely columnar over the store (segmented means via
+    the store's row index), no per-read loops.
+    """
+    from .repeats import tig_read_index
+
+    n_reads = len(read_lengths)
+    tig_of, lo, hi, rev = tig_read_index(tigs, n_reads)
+    x = lo.astype(np.float64)
+    span_t = (hi - lo).astype(np.int64)  # read span in tig coords (fixed)
+
+    a_t = tig_of[store.a_id]
+    sel = (a_t > 0) & (tig_of[store.b_id] == a_t)
+    rows = np.flatnonzero(sel)
+    if len(rows) == 0:
+        return tigs
+    a = store.a_id[rows]
+    b = store.b_id[rows]
+    a_bgn = store.a_bgn[rows].astype(np.int64)
+    a_end = store.a_end[rows].astype(np.int64)
+    # b window in B-forward coords, oriented into b's tig frame below
+    b_bgn = store.b_bgn[rows].astype(np.int64)
+    b_end = store.b_end[rows].astype(np.int64)
+    w = (a_end - a_bgn).astype(np.float64)
+    da = np.where(rev[a], span_t[a] - a_end, a_bgn)
+    db = np.where(rev[b], span_t[b] - b_end, b_bgn)
+    # rows are grouped by a (store order); per-read weighted means via
+    # reduceat over the store's row index restricted to kept rows
+    order = np.argsort(a, kind="stable")
+    a_s, b_s = a[order], b[order]
+    da_s, db_s, w_s = da[order], db[order], w[order]
+    starts = np.searchsorted(a_s, np.arange(1, n_reads + 2))
+    has = starts[:-1] < starts[1:]
+    red_start = np.minimum(starts[:-1], max(0, len(a_s) - 1))
+    wsum = np.zeros(n_reads + 1)
+    wsum[1:][has] = np.add.reduceat(w_s, red_start)[has] if len(a_s) else 0
+
+    for _ in range(max(1, rounds)):
+        target = (x[b_s] + db_s - da_s) * w_s
+        tsum = np.zeros(n_reads + 1)
+        if len(a_s):
+            tsum[1:][has] = np.add.reduceat(target, red_start)[has]
+        mean = np.where(wsum > 0, tsum / np.maximum(wsum, 1e-9), x)
+        # damped update; reads with no in-tig overlaps stay put
+        x = np.where(wsum > 0, 0.5 * (x + mean), x)
+
+    out = TigStore()
+    for tig in tigs:
+        rid = tig.read_id
+        nb = np.round(x[rid]).astype(np.int64)
+        ne = nb + span_t[rid]
+        shift = nb.min() if len(nb) else 0
+        order2 = np.argsort(nb, kind="stable")
+        out.add(Tig(tig.tig_id, rid[order2],
+                    (nb - shift)[order2].astype(np.int32),
+                    (ne - shift)[order2].astype(np.int32),
+                    tig.rev[order2], tig.tig_class, tig.consensus))
+    return out

@@ -59,6 +59,12 @@ def init_distributed(
             num_processes = n
             process_id = int(os.environ["SLURM_PROCID"])
     if coordinator is not None:
+        try:
+            # CPU multi-process needs an explicit cross-process
+            # collectives implementation (TPU pods bring their own)
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=num_processes,

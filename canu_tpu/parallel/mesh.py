@@ -174,6 +174,67 @@ def sharded_kmer_count_step(mesh: Mesh, k: int = 16, bin_capacity: int = 0):
     return jax.jit(step)
 
 
+def sharded_kmer_count_step2(mesh: Mesh, k: int = 22, bin_capacity: int = 0):
+    """Distributed EXACT 2-lane k-mer counting for 16 < k <= 32.
+
+    Same hash-range all_to_all shuffle as sharded_kmer_count_step, but a
+    k-mer is TWO uint32 lanes (ops.kmer.extract_kmers2); the owner shard
+    is fold2(hi, lo) mod n and both lanes travel in one stacked
+    all_to_all.  The obt/utg phases default to k=22
+    (/root/reference/src/pipelines/canu/Defaults.pm ovlMerSize), so the
+    multi-host meryl must cover the 2-lane path too.
+
+    step(words, lengths) -> (hi u32[n*cap], lo u32[n*cap],
+      counts i32[n*cap], hist i32[65] replicated, n_dropped replicated)
+    """
+    from ..ops.kmer import extract_kmers2, fold2, histogram_device, sort_count2
+
+    n = mesh.devices.size
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("s", None), P("s")),
+        out_specs=(P("s", None), P("s", None), P("s", None), P(), P()),
+        check_vma=False,
+    )
+    def step(words, lengths):
+        hi, lo, _strand, valid = extract_kmers2(words, lengths, k)
+        v = valid.reshape(-1)
+        hi = jnp.where(v, hi.reshape(-1), INVALID_KMER)
+        lo = jnp.where(v, lo.reshape(-1), INVALID_KMER)
+        cap = bin_capacity or max(128, (2 * hi.shape[0]) // n)
+        owner = jnp.where(v, fold2(hi, lo) % jnp.uint32(n), jnp.uint32(n))
+        owner_s, hi_s, lo_s = jax.lax.sort((owner, hi, lo), dimension=0,
+                                           num_keys=1)
+        start = jnp.searchsorted(owner_s, jnp.arange(n + 1, dtype=jnp.uint32))
+        idx = jnp.arange(hi.shape[0], dtype=jnp.int32)
+        own_i = jnp.minimum(owner_s, n).astype(jnp.int32)
+        rank = idx - start[own_i].astype(jnp.int32)
+        keep = (owner_s < n) & (rank < cap)
+        n_dropped = jnp.sum((owner_s < n) & (rank >= cap), dtype=jnp.int32)
+        send = jnp.full((n, 2, cap), INVALID_KMER, jnp.uint32)
+        dst = jnp.where(keep, own_i, n)
+        rnk = jnp.where(keep, rank, 0)
+        send = send.at[dst, 0, rnk].set(hi_s, mode="drop")
+        send = send.at[dst, 1, rnk].set(lo_s, mode="drop")
+        recv = jax.lax.all_to_all(send, "s", split_axis=0, concat_axis=0,
+                                  tiled=True)
+        mh, ml, counts = sort_count2(
+            recv[:, 0, :].reshape(-1), recv[:, 1, :].reshape(-1)
+        )
+        hist = histogram_device(
+            jnp.where((mh != INVALID_KMER) | (ml != INVALID_KMER), counts, 0),
+            64,
+        )
+        hist = jax.lax.psum(hist, "s")
+        n_dropped = jax.lax.psum(n_dropped, "s")
+        return (mh[None, :], ml[None, :], counts[None, :].astype(jnp.int32),
+                hist, n_dropped)
+
+    return jax.jit(step)
+
+
 def sharded_pipeline_step(mesh: Mesh, k: int = 16, band: int = 128):
     """The FULL sharded overlap step: k-mer histogram (psum collective),
     sketch index ('h'-sharded, all_gather), all-vs-all candidate counts

@@ -53,33 +53,95 @@ def default_mesh(n_devices: int | None = None) -> Mesh:
 # ---- distributed meryl -------------------------------------------------------
 
 
+def _mesh_rows(readset, mesh: Mesh, W: int):
+    """Row-sharded (words, lengths) device arrays over the mesh.
+
+    Single-process: plain device arrays (shard_map splits them).
+    Multi-process: each host builds ONLY ITS OWN contiguous row block
+    (host-sharded read feeding — no host materializes the full padded
+    plane) and the global array is assembled from per-process shards.
+    """
+    from jax.sharding import NamedSharding
+
+    n = mesh.devices.size
+    N = readset.n_reads
+    Npad = -(-max(N, 1) // n) * n
+    pc = jax.process_count()
+    if pc == 1:
+        words, lengths = readset.block_words(
+            np.arange(1, N + 1, dtype=np.int64), W)
+        if Npad > N:
+            words = np.vstack([words, np.zeros((Npad - N, W), np.uint32)])
+            lengths = np.concatenate(
+                [lengths, np.zeros(Npad - N, np.int32)])
+        return jnp.asarray(words), jnp.asarray(lengths), Npad
+    assert Npad % pc == 0 and n % pc == 0
+    per = Npad // pc
+    p = jax.process_index()
+    r0 = p * per
+    ids = np.arange(r0 + 1, min(r0 + per, N) + 1, dtype=np.int64)
+    if len(ids):
+        words, lengths = readset.block_words(ids, W)
+    else:
+        words = np.zeros((0, W), np.uint32)
+        lengths = np.zeros(0, np.int32)
+    if len(ids) < per:
+        words = np.vstack(
+            [words, np.zeros((per - len(ids), W), np.uint32)])
+        lengths = np.concatenate(
+            [lengths, np.zeros(per - len(ids), np.int32)])
+    wg = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("s", None)), words, (Npad, W))
+    lg = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("s")), lengths, (Npad,))
+    return wg, lg, Npad
+
+
+def _host_full(x):
+    """Full host copy of a (possibly cross-process sharded) array."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def sharded_count_readset(readset, k: int = 16, mesh: Mesh | None = None,
                           bin_capacity: int = 0):
     """Distributed k-mer counting; returns a host KmerCounts identical to
     the single-device count (hash-range routing makes local counts
-    global).  The multi-host meryl of SURVEY §2.13."""
+    global).  The multi-host meryl of SURVEY §2.13; k <= 16 counts one
+    uint32 lane, 16 < k <= 32 exact 2-lane (the reference's ovl/utg
+    k=22)."""
     from ..ops.kmer import INVALID_KMER, KmerCounts
     from ..utils.bitpack import n_words
-    from .mesh import sharded_kmer_count_step
+    from .mesh import sharded_kmer_count_step, sharded_kmer_count_step2
 
     mesh = mesh or default_mesh()
-    n = mesh.devices.size
-    N = readset.n_reads
     W = 1 << max(0, int(n_words(max(1, readset.max_length)) - 1).bit_length())
-    Npad = -(-max(N, 1) // n) * n
-    words, lengths = readset.block_words(np.arange(1, N + 1, dtype=np.int64), W)
-    if Npad > N:
-        words = np.vstack([words, np.zeros((Npad - N, W), np.uint32)])
-        lengths = np.concatenate([lengths, np.zeros(Npad - N, np.int32)])
+    words, lengths, _Npad = _mesh_rows(readset, mesh, W)
+    if k > 16:
+        step = sharded_kmer_count_step2(mesh, k=k, bin_capacity=bin_capacity)
+        hi, lo, ct, hist, dropped = step(words, lengths)
+        if int(_host_full(dropped)) > 0:
+            raise RuntimeError("sharded k-mer count dropped k-mers; "
+                               "raise bin_capacity")
+        hi = _host_full(hi).reshape(-1).astype(np.uint64)
+        lo = _host_full(lo).reshape(-1).astype(np.uint64)
+        ct = _host_full(ct).reshape(-1)
+        km = (hi << np.uint64(32)) | lo
+        keep = (km != np.uint64(0xFFFFFFFFFFFFFFFF)) & (ct > 0)
+        km, ct = km[keep], ct[keep].astype(np.int64)
+        order = np.argsort(km, kind="stable")
+        return KmerCounts(k, km[order], ct[order])
     step = sharded_kmer_count_step(mesh, k=k, bin_capacity=bin_capacity)
-    km, ct, hist, dropped = step(jnp.asarray(words), jnp.asarray(lengths))
-    if int(dropped) > 0:
+    km, ct, hist, dropped = step(words, lengths)
+    if int(_host_full(dropped)) > 0:
         raise RuntimeError(
-            f"sharded k-mer count dropped {int(dropped)} k-mers; "
-            f"raise bin_capacity"
+            f"sharded k-mer count dropped k-mers; raise bin_capacity"
         )
-    km = np.asarray(km).reshape(-1)
-    ct = np.asarray(ct).reshape(-1)
+    km = _host_full(km).reshape(-1)
+    ct = _host_full(ct).reshape(-1)
     keep = (km != INVALID_KMER) & (ct > 0)
     km, ct = km[keep], ct[keep].astype(np.int64)
     order = np.argsort(km, kind="stable")
@@ -172,7 +234,19 @@ def sharded_find_candidates(
             np.full((Npad - N, H), UINT32_MAX, np.uint32),
         ])
     step = _ring_step_fn(mesh, B_loc, H, min_matches, cap_per_step, n)
-    out, nfound = step(jnp.asarray(sketches))
+    if jax.process_count() > 1:
+        from jax.sharding import NamedSharding
+
+        per = Npad // jax.process_count()
+        p = jax.process_index()
+        sk_g = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P("s", None)),
+            sketches[p * per : (p + 1) * per], (Npad, H))
+        out, nfound = step(sk_g)
+    else:
+        out, nfound = step(jnp.asarray(sketches))
+    out = _host_full(out)
+    nfound = _host_full(nfound)
     worst = int(np.asarray(nfound).max())
     if worst > cap_per_step:
         raise RuntimeError(
@@ -185,3 +259,62 @@ def sharded_find_candidates(
     flip = rows[:, 0] > rows[:, 1]
     rows[flip, 0], rows[flip, 1] = rows[flip, 1], rows[flip, 0]
     return rows[np.lexsort((rows[:, 1], rows[:, 0]))]
+
+
+# ---- sharded banded verification --------------------------------------------
+
+
+def sharded_verify_candidates(
+    readset,
+    pairs: np.ndarray,
+    mesh: Mesh | None = None,
+    k: int = 16,
+    band: int = 128,
+):
+    """Banded verification sharded by candidate ownership.
+
+    Each device verifies its contiguous slice of the candidate list with
+    the same anchor+extension kernel the single-device path uses
+    (ops.align._verify_kernel, engine='xla' — pure jax, so it runs
+    inside shard_map); the read-index planes are replicated (at pod
+    scale they are the small side: packed words + minimizer tables).
+    Returns the raw verification rows int32[M, 13] in candidate order —
+    bit-identical to the single-device kernel on the same pairs.
+    """
+    from types import SimpleNamespace
+
+    from ..ops.align import _verify_kernel
+    from ..ops.minimizers import get_read_index
+
+    mesh = mesh or default_mesh()
+    n = mesh.devices.size
+    index = get_read_index(readset, k=k)
+    n_rows = index.words.shape[1] * 16
+    M = len(pairs)
+    per = -(-max(M, 1) // n)
+    Mp = per * n
+    pad_row = index.n_reads
+    a_idx = np.full(Mp, pad_row, np.int32)
+    b_idx = np.full(Mp, pad_row, np.int32)
+    a_idx[:M] = pairs[:, 0] - 1
+    b_idx[:M] = pairs[:, 1] - 1
+    fl = np.zeros(Mp, bool)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P("s"), P("s"), P("s")),
+        out_specs=P("s", None),
+        check_vma=False,
+    )
+    def step(words, length, mker, mpos, mstr, ai, bi, flp):
+        idx = SimpleNamespace(words=words, length=length, mker=mker,
+                              mpos=mpos, mstr=mstr, n_reads=pad_row)
+        return _verify_kernel(idx, ai, bi, flp, k, band, n_rows,
+                              engine="xla", orient=True)
+
+    out = jax.jit(step)(
+        index.words, index.length, index.mker, index.mpos, index.mstr,
+        jnp.asarray(a_idx), jnp.asarray(b_idx), jnp.asarray(fl),
+    )
+    return _host_full(out)[:M]

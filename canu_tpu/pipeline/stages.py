@@ -116,10 +116,10 @@ def meryl(ctx: AssemblyCtx, tag: str, rs: ReadSet):
         return os.path.exists(out)
 
     def fn() -> None:
-        if sharded_enabled(ctx.cfg) and k <= 16:
+        if sharded_enabled(ctx.cfg):
             # distributed meryl: hash-range all_to_all over the mesh
             # (identical counts — every k-mer lands on one owner shard);
-            # k > 16 stays single-device where the exact 2-lane sort lives
+            # k <= 16 routes one uint32 lane, k <= 32 exact 2-lane
             from ..parallel.shard_overlap import sharded_count_readset
 
             kc = sharded_count_readset(rs, k=k)

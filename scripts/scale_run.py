@@ -95,20 +95,30 @@ def main() -> None:
     print(f"# pipeline wall {wall:.1f}s", flush=True)
 
     contigs = list(fastx.read_fastx(os.path.join(wd, "asm.contigs.fasta")))
-    ev = evaluate_assembly(
-        g, [bitpack.seq_to_codes(c.seq) for c in contigs], k=21,
-        circular=True,
-    )
-    print("# " + ev.summary(), flush=True)
-    print(json.dumps({
+    res = {
         "genome": gsize, "coverage": cov, "reads": rs.n_reads,
         "bases": rs.total_bases, "wall_s": round(wall, 1),
-        "n_contigs": len(contigs), "ng50": ev.contig_ng50,
-        "ideal_ng50": ev.ideal_ng50,
-        "genome_fraction": round(ev.genome_fraction, 4),
-        "misjoins": ev.n_misjoins,
-        "identity": round(ev.identity, 5),
-    }), flush=True)
+        "n_contigs": len(contigs),
+    }
+    try:
+        ev = evaluate_assembly(
+            g, [bitpack.seq_to_codes(c.seq) for c in contigs], k=21,
+            circular=True,
+        )
+        print("# " + ev.summary(), flush=True)
+        res.update({
+            "ng50": ev.contig_ng50, "ideal_ng50": ev.ideal_ng50,
+            "genome_fraction": round(ev.genome_fraction, 4),
+            "misjoins": ev.n_misjoins,
+            "identity": round(ev.identity, 5),
+        })
+    except Exception as e:  # the assembly is DONE; don't lose the result
+        print(f"# evaluation failed ({e}); rerun evaluate_assembly on CPU",
+              flush=True)
+        res["eval_error"] = str(e)[:200]
+    with open(os.path.join(wd, "result.json"), "w") as fh:
+        json.dump(res, fh)
+    print(json.dumps(res), flush=True)
 
 
 if __name__ == "__main__":

@@ -130,3 +130,33 @@ def test_split_discontinuous_singleton_class():
     out = split_discontinuous(TigStore([tig]), min_reads_per_contig=2)
     assert len(out) == 2
     assert all(t.tig_class == CLASS_UNASSEMBLED for t in out)
+
+
+def test_optimize_positions_recovers_offsets():
+    """Perturbed tig positions move back to overlap-implied coordinates
+    (AS_BAT_OptimizePositions.C role)."""
+    import numpy as np
+
+    from canu_tpu.graph.best_overlap import optimize_positions
+    from canu_tpu.stores.tigs import Tig, TigStore
+
+    # 4 reads of 1000, true spacing 600 (400 bp dovetails), positions
+    # perturbed by up to +-120
+    true_bgn = np.array([0, 600, 1200, 1800])
+    pert = np.array([0, 110, -120, 90])
+    L = 1000
+    tigs = TigStore()
+    tigs.add(Tig(1, np.arange(1, 5, dtype=np.int32),
+                 (true_bgn + pert).astype(np.int32),
+                 (true_bgn + pert + L).astype(np.int32),
+                 np.zeros(4, bool)))
+    rows = []
+    for i in range(3):  # overlaps i <-> i+1: a[600:1000] ~ b[0:400]
+        rows.append((i + 1, i + 2, False, 600, 1000, 0, 400, 100))
+        rows.append((i + 2, i + 1, False, 0, 400, 600, 1000, 100))
+    st = _store(rows, 4)
+    out = optimize_positions(tigs, st, np.full(4, L, np.int64), rounds=30)
+    got = out[0].bgn.astype(np.int64)
+    got = got - got.min()
+    # relative spacing recovered to within a few bases
+    assert np.abs(np.diff(got) - 600).max() <= 15, got
