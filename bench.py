@@ -93,6 +93,26 @@ def main() -> None:
 
     n = len(ov)
     value = n / wall
+    # end-to-end scale-run metrics (BASELINE configs 1-2): scale_run.py
+    # writes result.json per workdir; surface the most recent ones so
+    # the round artifacts carry the e2e wall clock and quality
+    import glob
+
+    e2e = {}
+    for rj in sorted(glob.glob(os.path.join("_scale", "*", "result.json"))):
+        try:
+            with open(rj) as fh:
+                r = json.load(fh)
+            e2e[os.path.basename(os.path.dirname(rj))] = {
+                k: r.get(k) for k in
+                ("genome", "coverage", "wall_s", "n_contigs", "ng50",
+                 "genome_fraction", "misjoins", "identity")
+            }
+        except Exception:
+            pass
+    if e2e:
+        print(f"# e2e scale runs: {json.dumps(e2e)}", file=sys.stderr,
+              flush=True)
     print(
         json.dumps(
             {
@@ -100,6 +120,9 @@ def main() -> None:
                 "value": round(value, 1),
                 "unit": "overlaps/s",
                 "vs_baseline": round(value / BASELINE_OVL_PER_S_PER_CORE, 2),
+                "e2e": e2e or None,
+                "cold_pass_s": round(float(sum(timings_cold.values())), 1),
+                "warm_pass_s": round(wall, 1),
             }
         ),
         flush=True,

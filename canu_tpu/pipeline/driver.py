@@ -130,6 +130,12 @@ def run_pipeline(
     ctx = make_ctx(work_dir, prefix, cfg)
     with open(ctx.path(f"{prefix}.spec.used"), "w") as fh:
         json.dump(cfg.to_dict(), fh, indent=1, default=str)
+    # resource solver (Configure.pm role): maxMemory/maxThreads + the
+    # device's HBM size set spill thresholds, sort budgets and the vote
+    # engine's chunk geometry
+    from .configure import configure_resources
+
+    configure_resources(cfg, ctx.log)
 
     if bool(cfg.get("useGrid")):
         # join the multi-host jax cluster (Grid_*.pm role): afterwards

@@ -225,9 +225,12 @@ def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
         # beyond-RAM scale: stream verified chunks to a spill file and
         # build the store with the native external merge sort instead of
         # accumulating the table in memory
+        from .configure import configure_resources
+
+        res = configure_resources(cfg, ctx.log)
         spill = None
         sink = None
-        if len(pairs) >= int(cfg.get("ovlSpillPairs")):
+        if len(pairs) >= res.spill_pairs:
             from ..stores.overlaps import OverlapSpill
 
             spill = OverlapSpill(os.path.join(d, f"{ctx.prefix}.ovl.spill"))
@@ -257,7 +260,9 @@ def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
             sink=sink,
         )
         if spill is not None:
-            st = OverlapStore.build_spilled(spill, rs.n_reads)
+            st = OverlapStore.build_spilled(spill, rs.n_reads,
+                                            mem_budget=res.sort_mem_bytes,
+                                            n_threads=res.sort_threads)
         else:
             st = OverlapStore.build(ov, rs.n_reads)
         st.save(store)

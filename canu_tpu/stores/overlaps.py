@@ -104,7 +104,8 @@ class OverlapStore:
 
     @classmethod
     def build_spilled(cls, spill: "OverlapSpill", n_reads: int,
-                      mem_budget: int = 1 << 30) -> "OverlapStore":
+                      mem_budget: int = 1 << 30,
+                      n_threads: int = 0) -> "OverlapStore":
         """Build from a spill file via the native external merge sort
         (replaces the reference's grid-parallel bucketize/sort/index
         build for stores that exceed RAM); numpy lexsort fallback."""
@@ -115,7 +116,7 @@ class OverlapStore:
         n = None
         try:
             n = ovsort_file(spill.path, out, os.path.dirname(spill.path) or ".",
-                            mem_budget)
+                            mem_budget, n_threads)
         except OSError:
             n = None
         if n is None:  # no native toolchain: in-memory fallback
