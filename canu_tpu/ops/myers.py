@@ -522,7 +522,12 @@ def banded_extend_myers(
     if impl is None:
         impl = __import__("os").environ.get("CANU_TPU_MYERS_IMPL", "")
     if not impl:
-        impl = "pallas" if _on_tpu() else "xla"
+        # XLA everywhere: the Pallas whole-loop kernel matched the XLA
+        # scan warm (3284 vs 3340 ovl/s, BENCH_r02) but cost ~6 min of
+        # remote compile per (B, runq) shape — the round-2 cold-pass
+        # regression (16 s -> 410 s).  Set CANU_TPU_MYERS_IMPL=pallas to
+        # opt back in.
+        impl = "xla"
     if impl.startswith("pallas"):
         out = _run_pallas(
             a, a_len, b, b_len, centers, band, n_rows, seg, n_seg,

@@ -31,3 +31,38 @@ def test_host_shards_cover_everything():
     assert ids == list(range(1, 1004))
     s = host_read_shard(10, 3, 4)
     assert s.n_local >= 0
+
+
+def test_sharded_stage_smoke():
+    """Fast-lane mesh smoke: sharded meryl (both lanes) + ring candidates
+    on the 8 virtual devices agree with single-device — so a collective
+    regression surfaces without waiting for the slow lane."""
+    import numpy as np
+
+    from canu_tpu.ops import kmer as K
+    from canu_tpu.ops import minhash as MH
+    from canu_tpu.parallel.shard_overlap import (
+        sharded_count_readset,
+        sharded_find_candidates,
+    )
+    from canu_tpu.sim.simulate import random_genome, simulate_reads
+
+    g = random_genome(6_000, seed=9)
+    rs, _ = simulate_reads(g, coverage=4, mean_len=900, min_len=500,
+                           max_len=1400, error_rate=0.04, seed=10,
+                           circular=False)
+    for k in (16, 22):
+        sh = sharded_count_readset(rs, k=k)
+        ref = K.count_readset_device(rs, k=k, block_size=64).to_host()
+        order = np.argsort(ref.unique, kind="stable")
+        assert np.array_equal(
+            np.asarray(sh.unique, dtype=ref.unique.dtype), ref.unique[order])
+        assert np.array_equal(sh.counts, ref.counts[order])
+    fk = K.frequent_kmers(K.count_readset_device(rs, k=16, block_size=64),
+                          distinct_fraction=0.9995)
+    sk = np.asarray(MH.build_sketches(rs, k=16, n_hashes=64, frequent=fk,
+                                      block_size=64))
+    a = {tuple(r[:2]) for r in sharded_find_candidates(sk, min_matches=2)}
+    b = {tuple(r[:2]) for r in
+         np.asarray(MH.find_candidates(sk, min_matches=2, block_size=64))}
+    assert a == b
