@@ -93,6 +93,7 @@ class Config:
         self._reg("correctedErrorRate", 0.12, float, "max expected error in corrected-read alignments (meta: sets obt/utgOvlErrorRate)")
         self._reg("readType", "pacbio", str, "read technology: pacbio | nanopore")
         self._reg("stopAfter", "", str, "stop the pipeline after this stage")
+        self._reg("stopBefore", "", str, "stop the pipeline just before this stage (Defaults.pm stopBefore)")
         self._reg("canuIterationMax", 2, int, "max attempts per stage before giving up")
 
         self._reg_tagged("ovlErrorRate", {"cor": 0.30, "obt": 0.12, "utg": 0.12}, float,
@@ -135,6 +136,8 @@ class Config:
         self._reg("qvEvidenceWeight", True, _bool, "weight correction votes by evidence read mean QV (tie-break)")
         self._reg("contigFilterMinReads", 2, int, "tigs with fewer reads are unassembled")
         self._reg("contigFilterMinLength", 0, int, "tigs shorter than this are unassembled")
+        self._reg("contigFilterSingleReadSpan", 1.0, float,
+                  "a <=2-read tig whose longest read spans this fraction of it is unassembled (reference contigFilter member 3)")
         self._reg("contigFilterLowCovFraction", 0.5, float,
                   "tigs with more than this fraction of bases below lowCovDepth are unassembled")
         self._reg("contigFilterLowCovDepth", 5, int, "depth used by contigFilterLowCovFraction")

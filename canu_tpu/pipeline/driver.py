@@ -82,7 +82,10 @@ def make_ctx(work_dir: str, prefix: str, cfg: Config) -> AssemblyCtx:
 
 
 def run_stage(ctx: AssemblyCtx, name: str, done: Callable[[], bool], fn: Callable[[], None]) -> None:
-    """Idempotent stage execution with bounded retries + stopAfter."""
+    """Idempotent stage execution with bounded retries + stopBefore/stopAfter."""
+    if ctx.cfg.get("stopBefore").lower() == name.lower() and not done():
+        ctx.log.info(f"stopBefore={name}: halting")
+        raise StopPipeline(name)
     if done():
         ctx.log.info(f"{name}: already done, skipping")
     else:

@@ -623,6 +623,7 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
         # contigFilter 5-tuple beyond minReads, Defaults.pm contigFilter:
         # "minReads minLength singleReadSpan lowCovFraction lowCovDepth")
         min_len_f = int(ctx.cfg.get("contigFilterMinLength"))
+        srs = float(ctx.cfg.get("contigFilterSingleReadSpan"))
         lc_frac = float(ctx.cfg.get("contigFilterLowCovFraction"))
         lc_depth = int(ctx.cfg.get("contigFilterLowCovDepth"))
         n_filtered = 0
@@ -634,6 +635,14 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
                 t.tig_class = CLASS_UNASSEMBLED
                 n_filtered += 1
                 continue
+            # singleReadSpan member of the reference contigFilter 5-tuple:
+            # a tig mostly spanned by ONE read is that read, not assembly
+            if 0 < srs <= 1.0 and t.n_reads >= 1:
+                span_max = int((t.end - t.bgn).max())
+                if span_max >= srs * L and t.n_reads <= 2:
+                    t.tig_class = CLASS_UNASSEMBLED
+                    n_filtered += 1
+                    continue
             if lc_depth > 0 and 0 < lc_frac < 1:
                 depth = np.zeros(L + 1, np.int32)
                 np.add.at(depth, t.bgn, 1)
