@@ -674,24 +674,11 @@ def verify_overlaps(
                 readset.length[b_ids - 1].max(initial=1),
             )
         )
-        chunk_specs.append(
-            (sl, jnp.asarray(a_idx), jnp.asarray(b_idx), jnp.asarray(fl),
-             chunk_rows)
-        )
+        chunk_specs.append((sl, a_idx, b_idx, fl, chunk_rows))
     cap_q = int(max_erate * 10000) if partial else 0
-    if engine == "myers":
-        pending = _verify_grouped_myers(
-            index, chunk_specs, k, band, n_rows, orient, cap_q
-        )
-    else:
-        for sl, a_idx, b_idx, fl, chunk_rows in chunk_specs:
-            res = _verify_kernel(
-                index, a_idx, b_idx, fl, k, band, n_rows, engine, orient,
-                max_rows=chunk_rows, partial_cap_q=cap_q,
-            )
-            pending.append((sl, res))
     palin: list[np.ndarray] = []
-    for sl, res in pending:
+
+    def _consume(sl, res):
         r = np.asarray(res)  # [chunk, 13] int32, one fetch
         a_ids = a_id_all[sl]
         b_ids = b_id_all[sl]
@@ -755,6 +742,30 @@ def verify_overlaps(
         else:
             for name in cols:
                 cols[name].append(getattr(chunk_out, name))
+
+
+    # bound the in-flight window: with millions of candidates, keeping
+    # every chunk's inputs+results device-resident exhausted HBM at the
+    # E. coli scale (obt phase, 33k corrected reads); 128 chunks keep
+    # the device queue full while results drain continuously
+    MAX_IN_FLIGHT = 128
+    if engine == "myers":
+        for sl, res in _verify_grouped_myers(
+            index, chunk_specs, k, band, n_rows, orient, cap_q
+        ):
+            _consume(sl, res)
+    else:
+        for sl, a_idx, b_idx, fl, chunk_rows in chunk_specs:
+            res = _verify_kernel(
+                index, jnp.asarray(a_idx), jnp.asarray(b_idx),
+                jnp.asarray(fl), k, band, n_rows, engine, orient,
+                max_rows=chunk_rows, partial_cap_q=cap_q,
+            )
+            pending.append((sl, res))
+            if len(pending) > MAX_IN_FLIGHT:
+                _consume(*pending.pop(0))
+        for sl, res in pending:
+            _consume(sl, res)
 
     # second pass: verify palindromic pairs in the MINORITY orientation,
     # yielding the duplicate opposite-orientation overlaps the subread
