@@ -749,6 +749,17 @@ def verify_overlaps(
     # E. coli scale (obt phase, 33k corrected reads); 128 chunks keep
     # the device queue full while results drain continuously
     MAX_IN_FLIGHT = 128
+    FETCH_GROUP = 32  # chunks per d2h fetch (one round-trip per group)
+
+    def _drain(n: int) -> None:
+        take, rest = pending[:n], pending[n:]
+        pending[:] = rest
+        if not take:
+            return
+        batch = np.asarray(jnp.stack([res for _sl, res in take]))
+        for k_, (sl, _res) in enumerate(take):
+            _consume(sl, batch[k_])
+
     if engine == "myers":
         for sl, res in _verify_grouped_myers(
             index, chunk_specs, k, band, n_rows, orient, cap_q
@@ -763,9 +774,9 @@ def verify_overlaps(
             )
             pending.append((sl, res))
             if len(pending) > MAX_IN_FLIGHT:
-                _consume(*pending.pop(0))
-        for sl, res in pending:
-            _consume(sl, res)
+                _drain(FETCH_GROUP)
+        while pending:
+            _drain(FETCH_GROUP)
 
     # second pass: verify palindromic pairs in the MINORITY orientation,
     # yielding the duplicate opposite-orientation overlaps the subread
