@@ -233,60 +233,3 @@ def sharded_kmer_count_step2(mesh: Mesh, k: int = 22, bin_capacity: int = 0):
                 hist, n_dropped)
 
     return jax.jit(step)
-
-
-def sharded_pipeline_step(mesh: Mesh, k: int = 16, band: int = 128):
-    """The FULL sharded overlap step: k-mer histogram (psum collective),
-    sketch index ('h'-sharded, all_gather), all-vs-all candidate counts
-    ('r'-DP, all_gather), and banded-DP verification of each local read's
-    best partner — everything the single-chip pipeline does, jitted over
-    the mesh.  Used by the driver's multi-chip dryrun.
-
-    step(words [N, W] u32, lengths [N] i32, seeds [H] u32, fk [F] u32)
-      -> (cnt int32[N, N] sharded by rows,
-          hist int32[65] replicated k-mer count histogram,
-          edits int32[N] best-partner banded edit distances)
-    """
-    from ..ops.align import banded_extend
-    from ..ops.kmer import sort_count, histogram_device, unpack_bases
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P("r", None), P("r"), P("h"), P()),
-        out_specs=(P("r", None), P(), P("r")),
-        check_vma=False,
-    )
-    def step(words, lengths, seeds_local, fk):
-        # 1. k-mer spectrum: local count + global psum (meryl equivalent)
-        canon, _ = extract_kmers_any(words, lengths, k)
-        _, c = sort_count(canon.reshape(-1))
-        hist = histogram_device(c, 64)
-        hist = jax.lax.psum(hist, ("r", "h"))
-
-        # 2. sketch index sharded by hash range, assembled via all_gather
-        sk_h = _local_sketch(words, lengths, seeds_local, fk, k)
-        sk = jax.lax.all_gather(sk_h, "h", axis=1, tiled=True)
-        sk_all = jax.lax.all_gather(sk, "r", axis=0, tiled=True)
-        cnt = _count_matches(sk, sk_all, 2)
-
-        # 3. banded verification of each local read vs its best partner
-        words_all = jax.lax.all_gather(words, "r", axis=0, tiled=True)
-        len_all = jax.lax.all_gather(lengths, "r", axis=0, tiled=True)
-        B_loc = words.shape[0]
-        my_row0 = jax.lax.axis_index("r") * B_loc
-        self_col = my_row0 + jnp.arange(B_loc, dtype=jnp.int32)
-        masked = cnt.at[jnp.arange(B_loc), self_col].set(-1)
-        partner = jnp.argmax(masked, axis=1).astype(jnp.int32)
-        a = unpack_bases(words)
-        b = unpack_bases(words_all[partner])
-        n_rows = a.shape[1]
-        centers = jnp.broadcast_to(
-            jnp.arange(n_rows + 1, dtype=jnp.int32)[None, :], (B_loc, n_rows + 1)
-        )
-        edits, _, _ = banded_extend(
-            a, lengths, b, len_all[partner], centers, band, n_rows
-        )
-        return cnt, hist, edits
-
-    return jax.jit(step)
