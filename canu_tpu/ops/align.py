@@ -28,6 +28,7 @@ count (-> erate), the contract of the reference ovOverlap
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional
@@ -524,31 +525,60 @@ def _verify_kernel(index, a_idx, b_idx, flipped, k: int, band: int, n_rows: int,
 # 512-pair chunk at GROUP=4; diminishing beyond)
 MYERS_GROUP = 4
 
+# HBM the verify pipeline may hold in staged-but-unconsumed chunk inputs.
+# Each chunk's _verify_pre output is ~2*chunk*(2*n_rows + band + 4*n_rows)
+# bytes (two uint8 base planes + an int32 center plane, fwd+bwd fused) —
+# ~50 MB at chunk=512, n_rows=8192 — so an unbounded window exhausts a
+# v5e's 16 GB HBM in ~300 chunks; every E. coli-scale obt/utg pass has
+# millions of candidates = thousands of chunks.  The window is a hard
+# budget, halved by OOM recovery (pipeline.driver.run_stage) via
+# _INFLIGHT_BACKOFF so attempt 2 runs strictly smaller.
+INFLIGHT_MB = float(os.environ.get("CANU_TPU_VERIFY_INFLIGHT_MB", 2048))
+_INFLIGHT_BACKOFF = 1.0
+
+
+def _chunk_staging_bytes(chunk: int, n_rows: int, band: int) -> int:
+    """Device bytes held per staged chunk (the _verify_pre output tuple,
+    fwd+bwd fused: 2*chunk rows of A-plane, B-plane and int32 centers)."""
+    rows2 = 2 * chunk
+    return rows2 * (n_rows + (n_rows + band) + 4 * (n_rows + 1) + 64)
+
+
+def _max_in_flight(chunk: int, n_rows: int, band: int) -> int:
+    budget = INFLIGHT_MB * 1e6 * _INFLIGHT_BACKOFF
+    n = int(budget // max(1, _chunk_staging_bytes(chunk, n_rows, band)))
+    return max(2 * MYERS_GROUP, min(128, n))
+
 
 def _verify_grouped_myers(index, chunks, k: int, band: int, n_rows: int,
                           orient: bool, partial_cap_q: int):
-    """Run _verify_pre per chunk, then ONE Myers extension per group of
+    """Lazily run _verify_pre per chunk, ONE Myers extension per group of
     MYERS_GROUP chunks (concatenated on device), then _verify_post per
-    chunk.  chunks: list of (sl, a_idx, b_idx, fl, chunk_rows).  Returns
-    [(sl, res_tile)] in order.  Only two compiled Myers widths exist:
-    the full group and the single chunk (remainders run singly).
-    """
+    chunk.  chunks: list of (sl, a_idx, b_idx, fl, chunk_rows).  Yields
+    (sl, res_tile) in order.  Only two compiled Myers widths exist: the
+    full group and the single chunk (remainders run singly).
+
+    GENERATOR on purpose: staging is driven by consumption, so the
+    caller's bounded drain loop caps how many chunks' ~50 MB DP inputs
+    are device-live at once — the round-3 E. coli obt OOM was this
+    function staging every chunk's _verify_pre up front (the reference
+    streams overlap batches for the same reason,
+    /root/reference/src/overlapInCore/overlapInCore.C:191-300)."""
     from .myers import banded_extend_myers
 
-    pres = []
-    for sl, a_idx, b_idx, fl, chunk_rows in chunks:
-        pre = _verify_pre(
-            index.words, index.length, index.mker, index.mpos, index.mstr,
-            a_idx, b_idx, fl, k, band, n_rows, orient
-        )
-        pres.append((sl, pre, chunk_rows))
-
-    out = []
     i = 0
-    while i < len(pres):
-        grp = pres[i : i + MYERS_GROUP]
-        if len(grp) < MYERS_GROUP:
-            grp = [grp[0]]  # remainder chunks run singly (cached shape)
+    n = len(chunks)
+    while i < n:
+        specs = chunks[i : i + MYERS_GROUP]
+        if len(specs) < MYERS_GROUP:
+            specs = [specs[0]]  # remainder chunks run singly (cached shape)
+        grp = []
+        for sl, a_idx, b_idx, fl, chunk_rows in specs:
+            pre = _verify_pre(
+                index.words, index.length, index.mker, index.mpos, index.mstr,
+                a_idx, b_idx, fl, k, band, n_rows, orient
+            )
+            grp.append((sl, pre, chunk_rows))
         parts = [p[1][0] for p in grp]  # ext_in tuples
         if len(grp) > 1:
             wide = tuple(
@@ -562,6 +592,8 @@ def _verify_grouped_myers(index, chunks, k: int, band: int, n_rows: int,
             partial_cap_q=max(1, partial_cap_q),
         )
         B2 = parts[0][0].shape[0]  # fused fwd+bwd rows per chunk
+        del wide, parts  # drop DP-input refs before yielding (frees HBM
+        # as soon as the dispatched extension retires, not at group end)
         for gi, (sl, pre, _) in enumerate(grp):
             _, n_anchor, flipped, seedA, seedB, n_minor = pre
             s = slice(gi * B2, (gi + 1) * B2)
@@ -569,9 +601,8 @@ def _verify_grouped_myers(index, chunks, k: int, band: int, n_rows: int,
                 n_anchor, flipped, seedA, seedB, n_minor,
                 e[s], au[s], bu[s], pe[s], pa[s], pb[s],
             )
-            out.append((sl, res))
+            yield (sl, res)
         i += len(grp)
-    return out
 
 
 def verify_overlaps(
@@ -744,12 +775,14 @@ def verify_overlaps(
                 cols[name].append(getattr(chunk_out, name))
 
 
-    # bound the in-flight window: with millions of candidates, keeping
-    # every chunk's inputs+results device-resident exhausted HBM at the
-    # E. coli scale (obt phase, 33k corrected reads); 128 chunks keep
-    # the device queue full while results drain continuously
-    MAX_IN_FLIGHT = 128
-    FETCH_GROUP = 32  # chunks per d2h fetch (one round-trip per group)
+    # bound the in-flight window by an HBM budget: with millions of
+    # candidates, keeping every chunk's DP inputs+results device-resident
+    # exhausted HBM at the E. coli scale (obt phase, 33k corrected
+    # reads).  Draining a result BLOCKS until the device has executed it,
+    # which retires every buffer dispatched before it — so pending-length
+    # is a true bound on device-live staging, on every engine path.
+    max_in_flight = _max_in_flight(chunk, n_rows, band)
+    fetch_group = max(4, min(32, max_in_flight // 2))
 
     def _drain(n: int) -> None:
         take, rest = pending[:n], pending[n:]
@@ -764,7 +797,11 @@ def verify_overlaps(
         for sl, res in _verify_grouped_myers(
             index, chunk_specs, k, band, n_rows, orient, cap_q
         ):
-            _consume(sl, res)
+            pending.append((sl, res))
+            if len(pending) > max_in_flight:
+                _drain(fetch_group)
+        while pending:
+            _drain(fetch_group)
     else:
         for sl, a_idx, b_idx, fl, chunk_rows in chunk_specs:
             res = _verify_kernel(
@@ -773,10 +810,10 @@ def verify_overlaps(
                 max_rows=chunk_rows, partial_cap_q=cap_q,
             )
             pending.append((sl, res))
-            if len(pending) > MAX_IN_FLIGHT:
-                _drain(FETCH_GROUP)
+            if len(pending) > max_in_flight:
+                _drain(fetch_group)
         while pending:
-            _drain(FETCH_GROUP)
+            _drain(fetch_group)
 
     # second pass: verify palindromic pairs in the MINORITY orientation,
     # yielding the duplicate opposite-orientation overlaps the subread

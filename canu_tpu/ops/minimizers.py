@@ -49,7 +49,10 @@ from ..utils.bitpack import n_words
 from .hashing import mix32
 from .kmer import INVALID_KMER, extract_kmers, extract_kmers_any, length_bucketed_blocks
 
-UINT32_MAX = jnp.uint32(0xFFFFFFFF)
+# numpy, NOT jnp: a module-level jnp scalar is a live device buffer that
+# OOM recovery (utils.runtime.recover_device_memory) would delete, after
+# which every retrace embedding it fails with 'Array has been deleted'
+UINT32_MAX = np.uint32(0xFFFFFFFF)
 # k-mer window over s-mers: s = k - SYNC_DELTA, density 1/(SYNC_DELTA+1).
 # SYNC_DELTA must be even so the middle offset is strand-symmetric.
 SYNC_DELTA = 4
@@ -236,9 +239,20 @@ def build_read_index(
 
 
 def get_read_index(readset: ReadSet, k: int) -> ReadIndex:
-    """Cached index per (readset, k) — ReadSets are immutable."""
+    """Cached index per (readset, k) — ReadSets are immutable.
+
+    A cache hit re-validates the device buffers: OOM recovery
+    (utils.runtime.recover_device_memory) deletes every live array
+    between stage retries, so a stale entry would poison the retry with
+    'Array has been deleted' errors.  Deleted entries rebuild."""
     cache = readset.__dict__.setdefault("_read_index_cache", {})
     idx = cache.get(k)
+    if idx is not None:
+        try:
+            if idx.words.is_deleted():
+                idx = None
+        except Exception:
+            idx = None
     if idx is None:
         idx = build_read_index(readset, k=k)
         cache[k] = idx

@@ -532,7 +532,11 @@ def device_words(rs) -> tuple[jax.Array, jax.Array]:
     count is exact.)"""
     cached = rs.__dict__.get("_device_words_cache")
     if cached is not None:
-        return cached
+        try:  # OOM recovery deletes live arrays; stale entries rebuild
+            if not cached[0].is_deleted():
+                return cached
+        except Exception:
+            pass
     from ..utils.bitpack import n_words
 
     N = rs.n_reads

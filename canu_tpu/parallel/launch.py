@@ -88,3 +88,34 @@ def host_read_shard(n_reads: int, process_index: int, process_count: int) -> Hos
 
 def all_host_shards(n_reads: int, process_count: int) -> list[HostShard]:
     return [host_read_shard(n_reads, p, process_count) for p in range(process_count)]
+
+
+def is_distributed() -> bool:
+    import jax
+
+    return jax.process_count() > 1
+
+
+def is_writer() -> bool:
+    """True on the process that owns shared-file writes (process 0, or
+    any single-process run).  The reference's equivalent is the grid
+    executive: exactly one canu.pl writes stage outputs while job arrays
+    write only their own per-jobid files (Execution.pm:1036-1276)."""
+    import jax
+
+    return jax.process_count() == 1 or jax.process_index() == 0
+
+
+def barrier(name: str) -> None:
+    """Cross-process sync point (no-op single-process).
+
+    Used by the stage runner to make file-existence resume coherent
+    across processes: done() is only consulted when every process has
+    passed the previous stage's writes."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)

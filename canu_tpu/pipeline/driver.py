@@ -81,13 +81,42 @@ def make_ctx(work_dir: str, prefix: str, cfg: Config) -> AssemblyCtx:
     return ctx
 
 
-def run_stage(ctx: AssemblyCtx, name: str, done: Callable[[], bool], fn: Callable[[], None]) -> None:
-    """Idempotent stage execution with bounded retries + stopBefore/stopAfter."""
+def run_stage(ctx: AssemblyCtx, name: str, done: Callable[[], bool], fn: Callable[[], None],
+              collective: bool = False) -> None:
+    """Idempotent stage execution with bounded retries + stopBefore/stopAfter.
+
+    Multi-process (jax.process_count() > 1) coordination: a barrier
+    before the done() check makes file-existence resume coherent across
+    processes (no process consults done() until every process has passed
+    the previous stage's writes), and a barrier after fn() holds readers
+    until the writer's outputs are renamed.  ``collective=True`` marks a
+    stage whose fn contains cross-process collectives — EVERY process
+    must enter fn in lockstep; non-collective stages run fn on the
+    writer (process 0) only.  Distributed stages get a single attempt:
+    an in-process retry on one process would desynchronize the
+    collective schedule (the reference recovers by relaunching the whole
+    executive, Execution.pm:610-712 — ours is scripts/scale_run.py's
+    relaunch loop)."""
+    from ..parallel.launch import barrier, is_distributed, is_writer
+
+    dist = is_distributed()
+    if dist:
+        barrier(f"pre-{name}")
     if ctx.cfg.get("stopBefore").lower() == name.lower() and not done():
         ctx.log.info(f"stopBefore={name}: halting")
         raise StopPipeline(name)
     if done():
         ctx.log.info(f"{name}: already done, skipping")
+    elif dist:
+        t0 = time.time()
+        ctx.log.info(f"{name}: start (distributed, "
+                     f"{'collective' if collective else 'writer-only'})")
+        if collective or is_writer():
+            fn()
+        barrier(f"fn-{name}")
+        if not done():
+            raise PipelineError(f"{name}: ran but outputs missing")
+        ctx.log.info(f"{name}: done in {time.time()-t0:.1f}s")
     else:
         max_iter = int(ctx.cfg.get("canuIterationMax"))
         for attempt in range(1, max_iter + 1):
@@ -97,7 +126,19 @@ def run_stage(ctx: AssemblyCtx, name: str, done: Callable[[], bool], fn: Callabl
                 fn()
                 if not done():
                     raise PipelineError(f"{name}: ran but outputs missing")
-                ctx.log.info(f"{name}: done in {time.time()-t0:.1f}s")
+                wall = time.time() - t0
+                ctx.log.info(f"{name}: done in {wall:.1f}s")
+                # persistent per-stage wall breakdown (the reference logs
+                # wall+disk per command, Execution.pm:1362-1384); one
+                # JSONL line per completed stage attempt
+                try:
+                    with open(ctx.path(f"{ctx.prefix}.stage-times.jsonl"), "a") as fh:
+                        json.dump({"stage": name, "wall_s": round(wall, 1),
+                                   "attempt": attempt,
+                                   "t_end": round(time.time(), 1)}, fh)
+                        fh.write("\n")
+                except OSError:
+                    pass
                 break
             except (StopPipeline, KeyboardInterrupt):
                 raise
@@ -105,6 +146,28 @@ def run_stage(ctx: AssemblyCtx, name: str, done: Callable[[], bool], fn: Callabl
                 ctx.log.error(f"{name}: attempt {attempt} failed: {e}\n{traceback.format_exc()}")
                 if attempt == max_iter:
                     raise PipelineError(f"{name} failed after {max_iter} attempts") from e
+                # recover between attempts instead of replaying into the
+                # same wall: round 3's E. coli attempt 2 re-OOMed 4 ms
+                # after attempt 1 because the device still held every
+                # buffer.  Free them, shrink the verify window, and
+                # probe device health before re-entering fn().
+                from ..utils import runtime as RT
+
+                if RT.is_oom_error(e):
+                    n_freed = RT.recover_device_memory()
+                    from ..ops.align import _INFLIGHT_BACKOFF
+
+                    ctx.log.info(
+                        f"{name}: OOM recovery freed {n_freed} device "
+                        f"arrays; verify in-flight budget x{_INFLIGHT_BACKOFF:g}"
+                    )
+                    time.sleep(5.0)
+                elif "XlaRuntimeError" in type(e).__name__ or "DEADLINE" in str(e):
+                    # device-side fault (not OOM): a wedged TPU worker
+                    # takes 5-15 min to recycle; probe before retrying
+                    RT.wait_device_healthy(max_wait_s=900.0)
+    if dist:
+        barrier(f"post-{name}")
     if ctx.cfg.get("stopAfter").lower() == name.lower():
         ctx.log.info(f"stopAfter={name}: halting")
         raise StopPipeline(name)
@@ -131,8 +194,11 @@ def run_pipeline(
     cfg.apply_read_type_profile()
     cfg.validate()
     ctx = make_ctx(work_dir, prefix, cfg)
-    with open(ctx.path(f"{prefix}.spec.used"), "w") as fh:
-        json.dump(cfg.to_dict(), fh, indent=1, default=str)
+    from ..parallel.launch import is_writer
+
+    if is_writer():
+        with open(ctx.path(f"{prefix}.spec.used"), "w") as fh:
+            json.dump(cfg.to_dict(), fh, indent=1, default=str)
     # resource solver (Configure.pm role): maxMemory/maxThreads + the
     # device's HBM size set spill thresholds, sort budgets and the vote
     # engine's chunk geometry

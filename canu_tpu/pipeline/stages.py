@@ -166,22 +166,26 @@ def meryl(ctx: AssemblyCtx, tag: str, rs: ReadSet):
             how = "estimate(valley/peak)"
         else:
             fk = by_distinct()
-        np.savez(
-            out + ".WORKING.npz",
-            kmers=fk.kmers,
-            fraction=fk.fraction,
-            threshold=np.array([fk.threshold]),
-            total=np.array([fk.total_kmers]),
-            k=np.array([k]),
-        )
-        os.replace(out + ".WORKING.npz", out)
-        ctx.report.add(
-            f"{tag}.meryl",
-            f"k={k} threshold {fk.threshold} ({how}); "
-            f"{fk.n} frequent mers of {n_distinct} distinct",
-        )
+        from ..parallel.launch import is_writer
 
-    run_stage(ctx, f"{tag}-meryl", done, fn)
+        if is_writer():  # every process computed fk (collectives); one writes
+            np.savez(
+                out + ".WORKING.npz",
+                kmers=fk.kmers,
+                fraction=fk.fraction,
+                threshold=np.array([fk.threshold]),
+                total=np.array([fk.total_kmers]),
+                k=np.array([k]),
+            )
+            os.replace(out + ".WORKING.npz", out)
+            ctx.report.add(
+                f"{tag}.meryl",
+                f"k={k} threshold {fk.threshold} ({how}); "
+                f"{fk.n} frequent mers of {n_distinct} distinct",
+            )
+
+    run_stage(ctx, f"{tag}-meryl", done, fn,
+              collective=sharded_enabled(ctx.cfg))
     with np.load(out) as z:
         return K.FrequentKmers(
             k=int(z["k"][0]),
@@ -212,33 +216,56 @@ def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
         k = int(cfg.get(tag + "MerSize"))
         coverage = rs.total_bases / max(1.0, cfg.get("genomeSize"))
         n_hashes, min_matches = cfg.sketch_preset(tag, coverage)
-        sk = MH.build_sketches(rs, k=k, n_hashes=n_hashes, frequent=fk,
-                               block_size=int(cfg.get("mhapBlockSize")))
-        if sharded_enabled(cfg):
-            # ring all-vs-all over the device mesh: same candidate SET as
-            # the single-device block x block pass, O(N/n) per device
-            from ..parallel.shard_overlap import sharded_find_candidates
-
-            pairs = sharded_find_candidates(sk, min_matches=min_matches)
+        # sub-stage checkpoint: the candidate list is minutes of device
+        # work at E. coli scale — persist it so an OOM retry (or an
+        # external relaunch) resumes at verification instead of
+        # replaying sketch+match (the reference's only-failed-indices
+        # retry granularity, Execution.pm:1036-1276)
+        pairs_ckpt = os.path.join(d, f"{ctx.prefix}.candidates.npy")
+        if os.path.exists(pairs_ckpt):
+            pairs = np.load(pairs_ckpt)
+            ctx.log.info(
+                f"{tag}-overlap: resuming from checkpointed candidates "
+                f"({len(pairs)} pairs, {pairs_ckpt})"
+            )
         else:
-            pairs = MH.find_candidates(sk, min_matches=min_matches, block_size=1024)
+            sk = MH.build_sketches(rs, k=k, n_hashes=n_hashes, frequent=fk,
+                                   block_size=int(cfg.get("mhapBlockSize")))
+            if sharded_enabled(cfg):
+                # ring all-vs-all over the device mesh: same candidate SET
+                # as the single-device block x block pass, O(N/n)/device
+                from ..parallel.shard_overlap import sharded_find_candidates
+
+                pairs = sharded_find_candidates(sk, min_matches=min_matches)
+            else:
+                pairs = MH.find_candidates(sk, min_matches=min_matches, block_size=1024)
+            del sk  # sketches are HBM-heavy and dead past this point
+            from ..parallel.launch import is_writer
+
+            if is_writer():
+                np.save(pairs_ckpt + ".WORKING.npy", pairs)
+                os.replace(pairs_ckpt + ".WORKING.npy", pairs_ckpt)
         # beyond-RAM scale: stream verified chunks to a spill file and
         # build the store with the native external merge sort instead of
         # accumulating the table in memory
         from .configure import configure_resources
 
         res = configure_resources(cfg, ctx.log)
+        from ..parallel.launch import is_writer
+
         spill = None
         sink = None
-        if len(pairs) >= res.spill_pairs:
+        if len(pairs) >= res.spill_pairs and is_writer():
+            # writer-only: in a collective (sharded) run every process
+            # reaches this line, and a second open('wb') would truncate
+            # the writer's spill file
             from ..stores.overlaps import OverlapSpill
 
             spill = OverlapSpill(os.path.join(d, f"{ctx.prefix}.ovl.spill"))
             sink = spill.append
         # orientation vote + anchor chains + banded verification in ONE
         # device pass (place_candidates is folded into verify_overlaps)
-        ov = AL.verify_overlaps(
-            rs, pairs,
+        verify_kwargs = dict(
             k=k,
             band=int(cfg.get(tag + "BandWidth")),
             max_erate=float(cfg.get(tag + "OvlErrorRate")),
@@ -257,8 +284,25 @@ def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
             palindromic_min=(
                 int(cfg.get(tag + "MinShared")) if tag == "obt" else 0
             ),
-            sink=sink,
         )
+        import jax
+
+        from ..parallel.launch import is_writer
+
+        if sharded_enabled(cfg) and jax.process_count() > 1:
+            # each process verifies only ITS slice of the candidates
+            # (round 3 verified everything redundantly per process);
+            # the allgathered table feeds the spill/store path below
+            from ..parallel.shard_overlap import process_sharded_verify
+
+            ov = process_sharded_verify(rs, pairs, **verify_kwargs)
+            if sink is not None and is_writer():
+                sink(ov)
+                ov = None
+        else:
+            ov = AL.verify_overlaps(rs, pairs, sink=sink, **verify_kwargs)
+        if not is_writer():
+            return  # readers re-load the writer's store after the barrier
         if spill is not None:
             st = OverlapStore.build_spilled(spill, rs.n_reads,
                                             mem_budget=res.sort_mem_bytes,
@@ -266,6 +310,8 @@ def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
         else:
             st = OverlapStore.build(ov, rs.n_reads)
         st.save(store)
+        if os.path.exists(pairs_ckpt):
+            os.remove(pairs_ckpt)  # checkpoint superseded by the store
         per_read = st.n_overlaps_per_read()
         # errorEstimate equivalent: summarize the observed error
         # distribution (ErrorEstimate.pm role; ours is post-hoc exact)
@@ -281,7 +327,8 @@ def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
             f"{est.read_error:.4f}; suggested gate {est.suggested_ovl_erate:.3f}",
         )
 
-    run_stage(ctx, f"{tag}-overlap", done, fn)
+    run_stage(ctx, f"{tag}-overlap", done, fn,
+              collective=sharded_enabled(ctx.cfg))
     return OverlapStore.load(store)
 
 
@@ -325,6 +372,21 @@ def correction_phase(ctx: AssemblyCtx, raw_inputs: list[str]) -> None:
             if f.startswith("block_") and f.endswith(".fasta.gz")
         }
         from ..io.fastx import write_fasta
+        from ..parallel.launch import barrier, is_writer
+
+        import jax
+
+        pi, n_proc = jax.process_index(), jax.process_count()
+
+        class _SkipSet:
+            """done blocks + blocks owned by other processes: correction
+            blocks are independent jobs, so a multi-process run strides
+            them across processes (each writes only its own block files
+            — the reference's job-array partitioning,
+            CorrectReads.pm:122-141)."""
+
+            def __contains__(self, bi: int) -> bool:
+                return bi in done_blocks or (n_proc > 1 and bi % n_proc != pi)
 
         n_blocks = len(done_blocks)
         for bi, items in correct_reads_blocks(
@@ -335,7 +397,7 @@ def correction_phase(ctx: AssemblyCtx, raw_inputs: list[str]) -> None:
             min_evidence_length=int(ctx.cfg.get("corMinEvidenceLength")),
             band=int(ctx.cfg.get("corBandWidth")),
             qv_weight=bool(ctx.cfg.get("qvEvidenceWeight")),
-            done_blocks=done_blocks,
+            done_blocks=_SkipSet(),
         ):
             p = os.path.join(blocks_dir, f"block_{bi:05d}.fasta.gz")
             write_fasta(p + ".WORKING.gz", items)
@@ -345,6 +407,9 @@ def correction_phase(ctx: AssemblyCtx, raw_inputs: list[str]) -> None:
                 "correction block %d done (%d reads, %d blocks total)",
                 bi, len(items), n_blocks,
             )
+        barrier("correction-blocks")  # all processes' block files landed
+        if not is_writer():
+            return  # the writer concatenates; readers re-check done()
         # concatenate block gzips (gzip members concatenate legally)
         n = 0
         with open(out + ".WORKING.gz", "wb") as oh:
@@ -366,8 +431,11 @@ def correction_phase(ctx: AssemblyCtx, raw_inputs: list[str]) -> None:
             f"corrected {n} reads in {n_blocks} blocks -> {out}",
         )
 
-    run_stage(ctx, "correction", done, fn)
-    _cleanup_phase_stores(ctx, d)
+    from ..parallel.launch import is_distributed, is_writer as _isw
+
+    run_stage(ctx, "correction", done, fn, collective=is_distributed())
+    if _isw():
+        _cleanup_phase_stores(ctx, d)
 
 
 def _cleanup_phase_stores(ctx: AssemblyCtx, phase_dir: str) -> None:

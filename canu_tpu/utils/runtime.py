@@ -120,3 +120,61 @@ def wait_device_healthy(max_wait_s: float = 1200.0, probe_timeout_s: float = 90.
         if time.time() >= deadline:
             return False
         time.sleep(30.0)
+
+
+def is_oom_error(exc: BaseException) -> bool:
+    """True when exc (or its message) is a device out-of-memory."""
+    s = f"{type(exc).__name__}: {exc}"
+    return "RESOURCE_EXHAUSTED" in s or "Out of memory" in s or "OOM" in s
+
+
+def recover_device_memory(backoff: float = 0.5) -> int:
+    """Best-effort device-memory recovery between stage retries.
+
+    The reference's executive resubmits only failed array indices with
+    fresh processes, so a retry starts with a clean address space
+    (/root/reference/src/pipelines/canu/Execution.pm:1036-1276).  Our
+    stages retry IN-process: after a RESOURCE_EXHAUSTED the device still
+    holds every live jax.Array (including the cached per-readset
+    ReadIndex planes) and an immediate retry re-OOMs in milliseconds
+    (observed round 3: attempt 2 died 4 ms after attempt 1).  This:
+
+      1. deletes every live device array (caches rebuild lazily —
+         ReadSet._read_index_cache entries hold now-deleted buffers, so
+         callers must drop those caches; stages.overlap does);
+      2. clears jax's compiled-computation caches (frees scratch/
+         temp allocations retained by executables);
+      3. halves the verify stage's in-flight HBM budget so the retry
+         runs strictly smaller.
+
+    Returns the number of deleted arrays.
+    """
+    import gc
+
+    import jax
+
+    n = 0
+    try:
+        for arr in jax.live_arrays():
+            try:
+                # skip small arrays: module/closure-level scalar constants
+                # get baked into traced programs, and deleting one poisons
+                # every future retrace that embeds it.  The OOM mass is in
+                # the big planes (read index, DP inputs, sketches).
+                if arr.nbytes < (1 << 16):
+                    continue
+                arr.delete()
+                n += 1
+            except Exception:
+                pass
+    except Exception:
+        pass
+    try:
+        jax.clear_caches()
+    except Exception:
+        pass
+    gc.collect()
+    from ..ops import align as _align
+
+    _align._INFLIGHT_BACKOFF = max(0.05, _align._INFLIGHT_BACKOFF * backoff)
+    return n

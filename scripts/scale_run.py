@@ -116,6 +116,19 @@ def main() -> None:
         print(f"# evaluation failed ({e}); rerun evaluate_assembly on CPU",
               flush=True)
         res["eval_error"] = str(e)[:200]
+    # per-stage wall breakdown (driver.run_stage appends one line per
+    # completed stage attempt — Execution.pm:1362-1384 role)
+    st_path = os.path.join(wd, "asm.stage-times.jsonl")
+    if os.path.exists(st_path):
+        stages = {}
+        with open(st_path) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                stages[rec["stage"]] = stages.get(rec["stage"], 0.0) + rec["wall_s"]
+        res["stage_walls_s"] = {k: round(v, 1) for k, v in stages.items()}
     with open(os.path.join(wd, "result.json"), "w") as fh:
         json.dump(res, fh)
     print(json.dumps(res), flush=True)

@@ -62,3 +62,25 @@ if pid == 0:
     assert a == b, (len(a), len(b), list(a ^ b)[:5])
     print(f"[0] ring candidates: {len(a)} pairs EQUAL", flush=True)
     print("MP_TEST_OK", flush=True)
+
+# process-sharded full-featured verification: each process verifies its
+# strided slice, the allgathered table must equal the single-process one
+from canu_tpu.parallel.shard_overlap import process_sharded_verify
+from canu_tpu.ops import align as AL
+
+tab_sh = process_sharded_verify(rs, np.asarray(cand_sh), k=16, chunk=64)
+tab_ref = AL.verify_overlaps(rs, np.asarray(cand_sh), k=16, chunk=64)
+if pid == 0:
+    def rows(t):
+        return {
+            (int(a), int(b), bool(f), int(ab), int(ae), int(bb), int(be), int(e))
+            for a, b, f, ab, ae, bb, be, e in zip(
+                t.a_id, t.b_id, t.flipped, t.a_bgn, t.a_end,
+                t.b_bgn, t.b_end, t.erate_q,
+            )
+        }
+    ra, rb = rows(tab_sh), rows(tab_ref)
+    assert ra == rb, (len(ra), len(rb), list(ra ^ rb)[:4])
+    print(f"[0] process-sharded verify: {len(ra)} overlaps EQUAL", flush=True)
+
+print("MP_TEST_OK2", flush=True)
