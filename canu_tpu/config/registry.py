@@ -120,6 +120,9 @@ class Config:
         self._reg("cnsMinCoverage", 2, int, "min read coverage for a polished consensus call")
         self._reg("cnsPolishRounds", 3, int, "max consensus repileup rounds (abAbacus mergeRefine role)")
         self._reg("cnsMaxCoverage", 40, int, "cap read depth used for consensus (stashContains role)")
+        self._reg("cnsConsensus", "plurality", str,
+                  "consensus algorithm: plurality | dag | quick "
+                  "(reference utgcns -pbdagcon/-utgcns/-quick)")
         self._reg("corOutCoverage", 40, int, "target coverage of corrected reads to output")
         self._reg("corMaxEvidenceCoverage", 40, int, "cap on evidence reads per corrected read")
         self._reg("corMinEvidenceLength", 0, int, "min evidence overlap length for correction")

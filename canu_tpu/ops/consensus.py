@@ -65,6 +65,7 @@ def polish_tig(
     batch: int = 0,  # unused (votepile sizes its own chunks)
     max_coverage: int = 40,
     rounds: int = 3,
+    mode: str = "plurality",
 ) -> np.ndarray:
     """Iteratively plurality-polish a mosaic backbone with the tig's reads.
 
@@ -90,7 +91,7 @@ def polish_tig(
         backbone, bgn, end, n_edits = _polish_round(
             readset, e_words, e_len_d, tig, backbone, bgn, end,
             band=band, min_cov=min_cov, slack=slack,
-            max_coverage=max_coverage,
+            max_coverage=max_coverage, mode=mode,
         )
         if n_edits <= max(0, len(backbone) // 100_000):
             break
@@ -124,6 +125,7 @@ def _polish_round(
     min_cov: int,
     slack: int,
     max_coverage: int,
+    mode: str = "plurality",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """One repileup: segment the backbone, vote, apply edits, remap."""
     import jax.numpy as jnp
@@ -202,6 +204,29 @@ def _polish_round(
     t_words, t_len_d, pad_row = segment_codes_plane(seg_codes, S)
 
     Lt = _pow2_at_least(S)
+
+    if mode == "dag":
+        # tag-chain consensus (cnsConsensus=dag): per-read alignment
+        # paths on device, heaviest-consistent-chain DP on host
+        from .dagcon import dag_segments
+
+        jobs = VoteJobs(
+            t_idx=js.astype(np.int32),
+            e_idx=(rid[job_read] - 1).astype(np.int32),
+            t_bgn=(t_ab - js * S).astype(np.int32),
+            t_span=t_span.astype(np.int32),
+            e_lo=e_b.astype(np.int32),
+            e_span=e_span.astype(np.int32),
+            flipped=rev[job_read],
+            slot=np.zeros(len(js), np.int32),
+        )
+        new_segs, n_edits = dag_segments(
+            seg_codes, t_words, t_len_d, e_words, e_len_d, jobs,
+            Lt=Lt, band=band, min_cov=min_cov,
+        )
+        return _stitch_and_remap(new_segs, backbone, bgn, end, S, B_len,
+                                 n_seg) + (n_edits,)
+
     G = max(8, min(256, BLOCK_POS_BUDGET // Lt))
     new_segs: list[np.ndarray] = [None] * n_seg  # type: ignore[list-item]
     n_edits = 0
@@ -243,6 +268,22 @@ def _polish_round(
             n_edits += sub + indel
             new_segs[j] = new_seg
 
+    nb, nbgn, nend = _stitch_and_remap(new_segs, backbone, bgn, end, S,
+                                       B_len, n_seg)
+    return nb, nbgn, nend, n_edits
+
+
+def _stitch_and_remap(
+    new_segs: list[np.ndarray],
+    backbone: np.ndarray,
+    bgn: np.ndarray,
+    end: np.ndarray,
+    S: int,
+    B_len: int,
+    n_seg: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Concatenate polished segments and remap read placements through
+    the per-segment length changes (proportional within a segment)."""
     new_lens = np.array([len(s) for s in new_segs], np.int64)
     new_off = np.zeros(n_seg + 1, np.int64)
     np.cumsum(new_lens, out=new_off[1:])
@@ -257,4 +298,4 @@ def _polish_round(
         frac = (p - j * S) / np.maximum(old_len, 1)
         return (new_off[j] + np.round(frac * new_lens[j])).astype(np.int64)
 
-    return new_backbone, remap(bgn), remap(end), n_edits
+    return new_backbone, remap(bgn), remap(end)

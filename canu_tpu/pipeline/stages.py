@@ -737,6 +737,11 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
 
         tigs = TigStore.load(ctg_dir, version=1)
         polish = bool(ctx.cfg.get("cnsPolish"))
+        # cnsConsensus: plurality (vote-pile engine) | dag (tag-chain /
+        # pbdagcon role, ops.dagcon) | quick (mosaic only, utgcns -quick)
+        algo = str(ctx.cfg.get("cnsConsensus")).lower()
+        if algo == "quick":
+            polish = False
         for t in tigs:
             backbone = quick_mosaic(rs, t)
             if polish and t.tig_class == CLASS_CONTIG and t.n_reads >= 2:
@@ -746,6 +751,7 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
                     min_cov=int(ctx.cfg.get("cnsMinCoverage")),
                     rounds=int(ctx.cfg.get("cnsPolishRounds")),
                     max_coverage=int(ctx.cfg.get("cnsMaxCoverage")),
+                    mode="dag" if algo == "dag" else "plurality",
                 )
             else:
                 t.consensus = backbone
