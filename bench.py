@@ -103,7 +103,12 @@ def main() -> None:
         try:
             with open(rj) as fh:
                 r = json.load(fh)
-            e2e[os.path.basename(os.path.dirname(rj))] = {
+            name = os.path.basename(os.path.dirname(rj))
+            # ref* dirs hold REFERENCE canu timings (scripts/
+            # reference_e2e.py), not ours — label them unambiguously
+            if name.startswith("ref"):
+                name = f"REFERENCE-canu-{name}"
+            e2e[name] = {
                 k: r.get(k) for k in
                 ("genome", "coverage", "wall_s", "n_contigs", "ng50",
                  "genome_fraction", "misjoins", "identity")

@@ -522,12 +522,20 @@ def banded_extend_myers(
     if impl is None:
         impl = __import__("os").environ.get("CANU_TPU_MYERS_IMPL", "")
     if not impl:
-        # XLA everywhere: the Pallas whole-loop kernel matched the XLA
-        # scan warm (3284 vs 3340 ovl/s, BENCH_r02) but cost ~6 min of
-        # remote compile per (B, runq) shape — the round-2 cold-pass
-        # regression (16 s -> 410 s).  Set CANU_TPU_MYERS_IMPL=pallas to
-        # opt back in.
-        impl = "xla"
+        # Pallas on TPU, XLA elsewhere.  Re-measured 2026-08-21 (r4):
+        # warm verify 1.43 s vs 2.62 s XLA (4241 vs 2719 ovl/s, 1.56x)
+        # and Mosaic compiles now HIT the persistent cache (pallas cold
+        # 32.9 s -> 20.4 s across processes; true-cold 308 s vs XLA's
+        # 258 s — the remote XLA compiles dominate either way).  The
+        # round-2 "Mosaic misses the cache" regression (410 s cold) no
+        # longer reproduces.  CANU_TPU_MYERS_IMPL=xla opts back out.
+        import jax as _jax
+
+        try:
+            plat = _jax.devices()[0].platform.lower()
+        except Exception:  # pragma: no cover - backend probe best-effort
+            plat = "cpu"
+        impl = "pallas" if plat in ("tpu", "axon") else "xla"
     if impl.startswith("pallas"):
         out = _run_pallas(
             a, a_len, b, b_len, centers, band, n_rows, seg, n_seg,
