@@ -207,3 +207,136 @@ def test_contigs_match_reference(e2edata):
     assert ev_tpu.genome_fraction >= ev_ref.genome_fraction - 0.05, (
         ev_tpu.summary(), ev_ref.summary())
     assert ev_tpu.identity >= 0.999, ev_tpu.summary()
+
+
+# ---- correction differential: our vote engine vs reference falcon-sense ----
+
+
+def _banded_edist(a: np.ndarray, b: np.ndarray, band: int = 96) -> int:
+    """Banded Levenshtein (numpy rows, diagonal frame: lane d holds
+    D[i, i+d-band]); exact while the alignment drift stays in the band."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) >= band:
+        return max(la, lb)
+    INF = 1 << 20
+    ds = np.arange(-band, band + 1)
+    prev = np.where((ds >= 0) & (ds <= lb), np.abs(ds), INF)  # row i=0
+    for i in range(1, la + 1):
+        j = i + ds
+        jj = np.clip(j - 1, 0, lb - 1)
+        mis = np.where(
+            (j >= 1) & (j <= lb), (a[i - 1] != b[jj]).astype(np.int64), INF
+        )
+        diag = np.minimum(prev + mis, INF)  # D[i-1, j-1]: same lane
+        up = np.concatenate([prev[1:], [INF]]) + 1  # D[i-1, j]: lane d+1
+        cur = np.minimum(diag, up)
+        # left moves (D[i, j-1]+1) chain within the row: prefix-min of
+        # (cur - lane) reaches every k <= j in one scan
+        run = np.minimum.accumulate(cur - ds)
+        cur = np.minimum(cur, run + ds)
+        prev = np.where((j >= 0) & (j <= lb), np.minimum(cur, INF), INF)
+    d_final = lb - la + band
+    return int(prev[d_final]) if 0 <= d_final <= 2 * band else max(la, lb)
+
+
+def test_corrected_reads_vs_reference_falcon_sense(refdata, tmp_path):
+    """Correction-level differential (BASELINE 'corrected reads
+    identical' contract): the SAME per-template evidence piles go
+    through our device vote engine and through the reference's
+    falcon-sense binary (/root/reference/src/falcon_sense/
+    falcon_sense.C:100-155 text protocol, libfalcon alignTag MSA); the
+    corrected sequences must agree to >= 99.5% identity on average."""
+    import subprocess
+
+    from canu_tpu.ops.falcon import (
+        correct_reads,
+        select_evidence_rows,
+        select_templates,
+    )
+    from canu_tpu.stores.overlaps import OverlapStore
+    from canu_tpu.utils import bitpack as BP
+
+    from tests.test_assembly_slice import compute_overlaps
+
+    wd, fa, store, rs = refdata
+    gsize = 60_000
+    ov = compute_overlaps(rs, max_erate=0.12)
+    st = OverlapStore.build(ov, rs.n_reads)
+
+    out_cov = 3  # few templates keep the reference binary's wall short
+    template_ids = select_templates(rs, gsize, out_cov)
+    # key both outputs by a clean per-template id ("t<iid>"): simulator
+    # read names carry underscores the reference's "_<piece>" suffix
+    # parse would mangle
+    to_tid = {rs.name(int(t)): f"t{int(t)}" for t in template_ids}
+    ours: dict[str, str] = {}
+    for name, seq in correct_reads(
+        rs, st, gsize, out_coverage=out_cov, min_piece=500, min_cov=4,
+    ):
+        base = to_tid[name.rsplit("_corr", 1)[0]]
+        if base not in ours or len(seq) > len(ours[base]):
+            ours[base] = seq
+    rows = select_evidence_rows(st, template_ids, rs.length, 40, 0)
+    lines = []
+    n_fed = 0
+    for tid in template_ids.tolist():
+        rsel = rows[st.a_id[rows] == tid]
+        if len(rsel) == 0:
+            continue
+        lines.append(f"t{tid} {rs.get_seq(tid)}")
+        for r in rsel.tolist():
+            b = int(st.b_id[r])
+            seq = rs.get_seq(b)
+            if st.flipped[r]:
+                seq = BP.codes_to_seq(
+                    BP.revcomp_codes(BP.seq_to_codes(seq)))
+            lines.append(f"ev{b} {seq}")
+        lines.append("+ +")
+        n_fed += 1
+    lines.append("- -")
+    r = subprocess.run(
+        [os.path.join(RH.REF_BIN, "falcon_sense"), "--min_idt", "0.7",
+         "--min_len", "500", "--max_read_len", "30000", "--min_ovl_len",
+         "500", "--min_cov", "4", "--n_core", "2"],
+        input="\n".join(lines) + "\n", capture_output=True, text=True,
+        timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    # output is 60-column-wrapped FASTA; keep each template's longest piece
+    ref: dict[str, str] = {}
+    recs: list[tuple[str, list[str]]] = []
+    for line in r.stdout.splitlines():
+        if line.startswith(">"):
+            recs.append((line[1:].rsplit("_", 1)[0], []))
+        elif recs:
+            recs[-1][1].append(line.strip().upper())
+    for cur, parts in recs:
+        s = "".join(parts)
+        if len(s) > len(ref.get(cur, "")):
+            ref[cur] = s
+    both = sorted(set(ours) & set(ref))
+    assert len(both) >= max(3, n_fed // 2), (len(both), n_fed, len(ours),
+                                             len(ref))
+    # the reference's pieces are interior substrings of the template
+    # (its min_idt evidence gate trims low-coverage ends harder than our
+    # min_cov split does), so compare over the anchored common region
+    idents = []
+    for name in both:
+        o, f = ours[name], ref[name]
+        off = start = -1
+        for start in (50, 200, 500, 1000):
+            if start + 40 > len(f):
+                break
+            off = o.find(f[start : start + 40])
+            if off >= 0:
+                break
+        if off < 0:
+            idents.append(0.0)
+            continue
+        a = BP.seq_to_codes(o[off:])
+        b = BP.seq_to_codes(f[start:])
+        L = min(len(a), len(b))
+        d = _banded_edist(a[:L], b[:L], band=96)
+        idents.append(1.0 - d / max(1, L))
+    mean_ident = float(np.mean(idents))
+    assert mean_ident >= 0.995, (mean_ident, sorted(idents)[:5])
