@@ -125,6 +125,34 @@ class Config:
                   "(reference utgcns -pbdagcon/-utgcns/-quick)")
         self._reg("corOutCoverage", 40, int, "target coverage of corrected reads to output")
         self._reg("corMaxEvidenceCoverage", 40, int, "cap on evidence reads per corrected read")
+        self._reg("corConsensus", "falcon", str,
+                  "correction consensus: falcon (vote-pile plurality) | "
+                  "dag (tag-chain, reference corConsensus role)")
+        self._reg("corMinCoverage", 4, int,
+                  "min evidence coverage for a corrected base (falconsense "
+                  "min_cov; pieces split below it)")
+        self._reg("corMaxEvidenceErate", 0.0, float,
+                  "drop correction evidence overlaps above this error rate "
+                  "(0 = off; reference corMaxEvidenceErate)")
+        self._reg("saveMerCounts", False, _bool,
+                  "persist each phase's full k-mer count table "
+                  "(reference saveMerCounts)")
+        self._reg("saveReadCorrections", False, _bool,
+                  "keep per-block correction artifacts after the corrected "
+                  "reads are dumped (reference saveReadCorrections)")
+        self._reg("showNext", False, _bool,
+                  "print the next stage that would run, then stop "
+                  "(reference showNext)")
+        self._reg("ovsMethod", "auto", str,
+                  "overlap store build: auto | memory (in-RAM) | spill "
+                  "(stream + native external sort; reference ovsMethod "
+                  "sequential/parallel role)")
+        self._reg("batMemory", 0, int,
+                  "GB budget for overlaps loaded into the graph phase; 0 = "
+                  "unlimited (reference batMemory / OverlapCache limit)")
+        self._reg("oeaBatchSize", 512, int,
+                  "overlaps re-verified per device chunk in OEA "
+                  "(reference oeaBatchSize role)")
         self._reg("corMinEvidenceLength", 0, int, "min evidence overlap length for correction")
         # reference names and defaults (Defaults.pm:881-882, both 1).
         # Round 2 used coverage 2 (single-overlap tails cost ~0.05%

@@ -406,11 +406,42 @@ def build_unitigs(
     min_reads_per_contig: int = 2,
     deviation: float = 6.0,
     drop_dead_ends: bool = True,
+    max_rows: int = 0,
 ) -> TigStore:
-    """Greedy mutual-best unitigs + contained placement + singletons."""
+    """Greedy mutual-best unitigs + contained placement + singletons.
+
+    max_rows > 0 caps the overlaps held for the graph phase: per read,
+    best-scoring first — the reference OverlapCache's memory-budgeted
+    load (computeOverlapLimit, /root/reference/src/bogart/
+    AS_BAT_OverlapCache.H:249-281), driven by the batMemory parameter."""
     import logging
 
     log = logging.getLogger("canu_tpu.bogart")
+    if max_rows and len(store) > max_rows:
+        per_read = max(16, max_rows // max(1, store.n_reads))
+        score = (store.a_end - store.a_bgn).astype(np.int64) * (
+            10000 - store.erate_q.astype(np.int64)
+        )
+        order = np.lexsort((-score, store.a_id))
+        a_sorted = store.a_id[order]
+        iota = np.arange(len(order), dtype=np.int64)
+        seg0 = np.maximum.accumulate(
+            np.where(np.concatenate([[True], a_sorted[1:] != a_sorted[:-1]]),
+                     iota, 0)
+        )
+        keep_rows = order[(iota - seg0) < per_read]
+        mask = np.zeros(len(store), bool)
+        mask[keep_rows] = True
+        cols = {
+            c: getattr(store, c)[mask]
+            for c in ("a_id", "b_id", "flipped", "a_bgn", "a_end",
+                      "b_bgn", "b_end", "erate_q")
+        }
+        log.info(
+            "OverlapCache limit (batMemory): kept %d/%d overlaps "
+            "(<= %d per read)", int(mask.sum()), len(store), per_read,
+        )
+        store = OverlapStore(store.n_reads, **cols)
     bog = BestOverlapGraph(store, read_lengths, max_erate, end_slop, min_span,
                            deviation=deviation)
     n = store.n_reads

@@ -157,16 +157,18 @@ def tag_chain_consensus(
     template: np.ndarray,
     tag_sets: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
     min_cov: int = 2,
-) -> tuple[np.ndarray, int]:
+) -> tuple[np.ndarray, np.ndarray, int]:
     """Heaviest-consistent-chain consensus for one segment.
 
     tag_sets: one (pos, delta, base) triple per evidence read (chain
     order).  Columns whose delta-0 coverage is below min_cov keep the
     template base (and break chains, like the plurality path's
-    keep_template columns).  Returns (consensus codes, n_edits)."""
+    keep_template columns).  Returns (consensus codes, per-output-base
+    evidence coverage, n_edits) — the coverage lets correction-style
+    callers split the output at unsupported columns."""
     S = len(template)
     if not tag_sets or S == 0:
-        return template.copy(), 0
+        return template.copy(), np.zeros(S, np.int64), 0
     # ---- coverage gate ------------------------------------------------
     cov = np.zeros(S, np.int64)
     for pos, dd, _ in tag_sets:
@@ -185,7 +187,7 @@ def tag_chain_consensus(
         all_key.append(key)
         all_read.append(np.full(len(key), r, np.int64))
     if not all_key:
-        return template.copy(), 0
+        return template.copy(), cov, 0
     keys = np.concatenate(all_key)
     reads = np.concatenate(all_read)
     same = reads[1:] == reads[:-1]
@@ -200,7 +202,7 @@ def tag_chain_consensus(
     adj = ((dp_ == sp) & (dd_ == sd + 1)) | ((dp_ == sp + 1) & (dd_ == 0))
     e_src, e_dst = e_src[adj], e_dst[adj]
     if len(e_src) == 0:
-        return template.copy(), 0
+        return template.copy(), cov, 0
     # ---- unique nodes + edges -----------------------------------------
     nodes = np.unique(keys)
     n_nodes = len(nodes)
@@ -232,7 +234,7 @@ def tag_chain_consensus(
     # ---- backtrack from the global best end node ----------------------
     end = int(np.argmax(score))
     if score[end] <= 0:
-        return template.copy(), 0
+        return template.copy(), cov, 0
     path = []
     cur = end
     while cur >= 0:
@@ -248,15 +250,19 @@ def tag_chain_consensus(
     # ppos[0]'s own base, so the template prefix must include that column
     lo = int(ppos[0]) + (1 if int(pd[0]) > 0 else 0)
     hi = int(ppos[-1])
-    emit = pbase[pbase != DEL_BASE].astype(np.uint8)
+    keep = pbase != DEL_BASE
+    emit = pbase[keep].astype(np.uint8)
     out = np.concatenate([template[:lo], emit, template[hi + 1 :]])
+    out_cov = np.concatenate(
+        [cov[:lo], cov[np.clip(ppos[keep], 0, S - 1)], cov[hi + 1 :]]
+    )
     n_edits = int(
         np.sum(pd > 0)
         + np.sum(pbase == DEL_BASE)
         + np.sum((pd == 0) & (pbase != DEL_BASE)
                  & (pbase != template[np.clip(ppos, 0, S - 1)]))
     )
-    return out, n_edits
+    return out, out_cov, n_edits
 
 
 def dag_segments(
@@ -289,7 +295,7 @@ def dag_segments(
                 int(jobs.t_bgn[jidx]), int(jobs.t_span[jidx]),
                 js[jidx], e_sub[jidx], int(jobs.e_span[jidx]),
             ))
-        seg, ed = tag_chain_consensus(tmpl, tag_sets, min_cov=min_cov)
+        seg, _cov, ed = tag_chain_consensus(tmpl, tag_sets, min_cov=min_cov)
         new_segs.append(seg)
         n_edits += ed
     return new_segs, n_edits

@@ -60,11 +60,14 @@ def select_evidence_rows(
     lengths: np.ndarray,
     max_evidence_coverage: int,
     min_evidence_length: int,
+    max_evidence_erate: float = 0.0,
 ) -> np.ndarray:
     """Store row indices of the evidence kept per template: best-scoring
     overlaps first until the per-template coverage budget
     (filterCorrectionOverlaps / corMaxEvidenceCoverage semantics), as one
-    columnar pass over the whole store."""
+    columnar pass over the whole store.  max_evidence_erate > 0 drops
+    noisier evidence first (corMaxEvidenceErate,
+    /root/reference/src/pipelines/canu/CorrectReads.pm)."""
     is_tpl = np.zeros(st.n_reads + 2, bool)
     is_tpl[template_ids] = True
     rows = np.flatnonzero(is_tpl[st.a_id])
@@ -72,6 +75,8 @@ def select_evidence_rows(
         return rows
     span = (st.a_end[rows] - st.a_bgn[rows]).astype(np.int64)
     ok = span >= max(100, min_evidence_length, 1)
+    if max_evidence_erate > 0:
+        ok &= st.erate_q[rows] <= int(max_evidence_erate * 10000)
     rows, span = rows[ok], span[ok]
     a = st.a_id[rows]
     score = span * (1.0 - st.erate_q[rows].astype(np.float64) / 10000.0)
@@ -367,11 +372,14 @@ def correct_reads(
     min_piece: int = 1000,
     batch: int = 0,  # unused (device engine sizes its own chunks)
     qv_weight: bool = True,
+    max_evidence_erate: float = 0.0,
+    mode: str = "falcon",
 ) -> Iterator[tuple[str, str]]:
     """Yield (name, corrected_sequence) for selected templates."""
     for _bi, items in correct_reads_blocks(
         rs, st, genome_size, out_coverage, max_evidence_coverage,
         min_evidence_length, band, min_cov, min_piece, qv_weight,
+        max_evidence_erate=max_evidence_erate, mode=mode,
     ):
         yield from items
 
@@ -388,16 +396,23 @@ def correct_reads_blocks(
     min_piece: int = 1000,
     qv_weight: bool = True,
     done_blocks=frozenset(),
+    max_evidence_erate: float = 0.0,
+    mode: str = "falcon",
 ) -> Iterator[tuple[int, list[tuple[str, str]]]]:
     """Yield (block_index, [(name, corrected_seq), ...]) per template
     block.  Block indices are deterministic for a given store+config, so
     a caller can persist each block's output and resume with
     ``done_blocks`` after a crash — the correction equivalent of the
     reference's per-jobid batch arrays
-    (/root/reference/src/pipelines/canu/CorrectReads.pm:122-141)."""
+    (/root/reference/src/pipelines/canu/CorrectReads.pm:122-141).
+
+    mode: 'falcon' (device vote piles + per-column plurality, the
+    falconsense role) or 'dag' (tag-chain consensus, the corConsensus
+    selection of /root/reference/src/pipelines/canu/Defaults.pm)."""
     template_ids = select_templates(rs, genome_size, out_coverage)
     rows = select_evidence_rows(
-        st, template_ids, rs.length, max_evidence_coverage, min_evidence_length
+        st, template_ids, rs.length, max_evidence_coverage,
+        min_evidence_length, max_evidence_erate,
     )
     mean_qv = rs.mean_quals() if (qv_weight and rs.has_quals) else None
     jobs = evidence_vote_jobs(st, rows, rs.length, mean_qv=mean_qv)
@@ -407,6 +422,12 @@ def correct_reads_blocks(
     has_ev[jobs.t_idx + 1] = True
     template_ids = template_ids[has_ev[template_ids]]
     if len(template_ids) == 0:
+        return
+
+    if mode == "dag":
+        yield from _dag_correct_blocks(
+            rs, jobs, template_ids, band, min_cov, min_piece, done_blocks
+        )
         return
 
     def finalize(words_d, len_d, t_idx, votes, Lt):
@@ -428,5 +449,108 @@ def correct_reads_blocks(
                 items.append(
                     (f"{rs.name(int(tid))}_corr{out_idx}", bitpack.codes_to_seq(seq))
                 )
+                out_idx += 1
+        yield bi, items
+
+
+def _dag_correct_blocks(
+    rs: ReadSet,
+    jobs: VoteJobs,
+    template_ids: np.ndarray,
+    band: int,
+    min_cov: int,
+    min_piece: int,
+    done_blocks=frozenset(),
+) -> Iterator[tuple[int, list[tuple[str, str]]]]:
+    """Tag-chain correction (corConsensus=dag): same template blocks and
+    segment geometry as the vote path, but each template's consensus is
+    the heaviest consistent tag chain (ops.dagcon) instead of a
+    per-column plurality, and pieces split where the chain's evidence
+    coverage drops below min_cov."""
+    from .dagcon import _job_tags, paths_for_jobs, tag_chain_consensus
+
+    S, slack = VOTE_SEG, VOTE_SEG_SLACK
+    from .votepile import BLOCK_POS_BUDGET
+
+    G = max(8, min(256, BLOCK_POS_BUDGET // S))
+    words_d, len_d = device_words(rs)
+    tl, nseg, row0 = _segment_table(rs.length, template_ids, S)
+    tpos = np.zeros(rs.n_reads + 1, np.int64)
+    tpos[template_ids] = np.arange(len(template_ids))
+    t_words, t_len_d, seg_len, _pad_row = _segment_plane(
+        rs, template_ids, nseg, row0, S
+    )
+    sjobs = _segment_jobs(jobs, row0, tpos, S, slack)
+    blocks = _pack_template_blocks(template_ids, tl, nseg, G)
+    order = np.argsort(sjobs.t_idx, kind="stable")
+    n_total = int(row0[-1])
+    bounds = np.searchsorted(sjobs.t_idx[order], np.arange(n_total + 1))
+
+    for bi, tsel in enumerate(blocks):
+        if bi in done_blocks:
+            continue
+        # ONE batched path dispatch for the whole block's evidence jobs
+        parts: list[np.ndarray] = []
+        seg_slice: dict[int, tuple[int, int]] = {}
+        off = 0
+        for i in tsel:
+            for k in range(int(nseg[i])):
+                srow = int(row0[i]) + k
+                t = order[bounds[srow] : bounds[srow + 1]]
+                seg_slice[srow] = (off, off + len(t))
+                parts.append(t)
+                off += len(t)
+        btake = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+        bjobs = VoteJobs(
+            t_idx=sjobs.t_idx[btake], e_idx=sjobs.e_idx[btake],
+            t_bgn=sjobs.t_bgn[btake], t_span=sjobs.t_span[btake],
+            e_lo=sjobs.e_lo[btake], e_span=sjobs.e_span[btake],
+            flipped=sjobs.flipped[btake],
+            slot=np.zeros(len(btake), np.int32),
+        )
+        js, e_sub = paths_for_jobs(
+            t_words, t_len_d, words_d, len_d, bjobs, S, band
+        )
+        items: list[tuple[str, str]] = []
+        for i in tsel:
+            tid = int(template_ids[i])
+            pieces_codes: list[np.ndarray] = []
+            pieces_cov: list[np.ndarray] = []
+            for k in range(int(nseg[i])):
+                srow = int(row0[i]) + k
+                take = np.arange(*seg_slice[srow])
+                tmpl = rs.get_codes(tid)[k * S : k * S + int(seg_len[srow])]
+                if len(take) == 0:
+                    pieces_codes.append(tmpl)
+                    pieces_cov.append(np.zeros(len(tmpl), np.int64))
+                    continue
+                tag_sets = [
+                    _job_tags(int(bjobs.t_bgn[j]), int(bjobs.t_span[j]),
+                              js[j], e_sub[j], int(bjobs.e_span[j]))
+                    for j in take
+                ]
+                seg, cov, _ed = tag_chain_consensus(
+                    tmpl, tag_sets, min_cov=min_cov
+                )
+                pieces_codes.append(seg)
+                pieces_cov.append(cov)
+            full = np.concatenate(pieces_codes) if pieces_codes else \
+                np.zeros(0, np.uint8)
+            cov = np.concatenate(pieces_cov) if pieces_cov else \
+                np.zeros(0, np.int64)
+            # split at unsupported columns (the falcon path's
+            # decode_pieces low-coverage splitting role)
+            sup = (cov >= min_cov).astype(np.int8)
+            padded = np.concatenate([[0], sup, [0]])
+            starts = np.flatnonzero((padded[:-1] == 0) & (padded[1:] == 1))
+            ends = np.flatnonzero((padded[:-1] == 1) & (padded[1:] == 0))
+            out_idx = 0
+            for b, e in zip(starts, ends):
+                if e - b < min_piece:
+                    continue
+                items.append((
+                    f"{rs.name(tid)}_corr{out_idx}",
+                    bitpack.codes_to_seq(full[b:e]),
+                ))
                 out_idx += 1
         yield bi, items

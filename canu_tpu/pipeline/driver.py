@@ -105,6 +105,11 @@ def run_stage(ctx: AssemblyCtx, name: str, done: Callable[[], bool], fn: Callabl
     if ctx.cfg.get("stopBefore").lower() == name.lower() and not done():
         ctx.log.info(f"stopBefore={name}: halting")
         raise StopPipeline(name)
+    if bool(ctx.cfg.get("showNext")) and not done():
+        # reference showNext: report the next step, change nothing
+        ctx.log.info(f"showNext: next stage is '{name}'")
+        print(f"next stage: {name}", flush=True)
+        raise StopPipeline(name)
     if done():
         ctx.log.info(f"{name}: already done, skipping")
     elif dist:

@@ -178,6 +178,15 @@ def meryl(ctx: AssemblyCtx, tag: str, rs: ReadSet):
                 k=np.array([k]),
             )
             os.replace(out + ".WORKING.npz", out)
+            if bool(ctx.cfg.get("saveMerCounts")):
+                # full count table artifact (reference saveMerCounts)
+                kh = kc.to_host() if hasattr(kc, "to_host") else kc
+                cp = os.path.join(d, f"{ctx.prefix}.ms{k}.counts.npz")
+                np.savez_compressed(
+                    cp + ".WORKING.npz", kmers=kh.unique, counts=kh.counts,
+                    k=np.array([k]),
+                )
+                os.replace(cp + ".WORKING.npz", cp)
             ctx.report.add(
                 f"{tag}.meryl",
                 f"k={k} threshold {fk.threshold} ({how}); "
@@ -255,7 +264,13 @@ def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
 
         spill = None
         sink = None
-        if len(pairs) >= res.spill_pairs and is_writer():
+        # ovsMethod (reference sequential/parallel build selection):
+        # memory forces the in-RAM build, spill forces the external sort
+        ovs = str(cfg.get("ovsMethod")).lower()
+        want_spill = (
+            len(pairs) >= res.spill_pairs if ovs == "auto" else ovs == "spill"
+        )
+        if want_spill and is_writer():
             # writer-only: in a collective (sharded) run every process
             # reaches this line, and a second open('wb') would truncate
             # the writer's spill file
@@ -263,6 +278,10 @@ def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
 
             spill = OverlapSpill(os.path.join(d, f"{ctx.prefix}.ovl.spill"))
             sink = spill.append
+            ctx.log.info(
+                f"{tag}-overlap: store via spill + external sort "
+                f"(ovsMethod={ovs}, {len(pairs)} candidate pairs)"
+            )
         # orientation vote + anchor chains + banded verification in ONE
         # device pass (place_candidates is folded into verify_overlaps)
         verify_kwargs = dict(
@@ -396,8 +415,12 @@ def correction_phase(ctx: AssemblyCtx, raw_inputs: list[str]) -> None:
             max_evidence_coverage=int(ctx.cfg.get("corMaxEvidenceCoverage")),
             min_evidence_length=int(ctx.cfg.get("corMinEvidenceLength")),
             band=int(ctx.cfg.get("corBandWidth")),
+            min_cov=int(ctx.cfg.get("corMinCoverage")),
             qv_weight=bool(ctx.cfg.get("qvEvidenceWeight")),
             done_blocks=_SkipSet(),
+            max_evidence_erate=float(ctx.cfg.get("corMaxEvidenceErate")),
+            mode="dag" if str(ctx.cfg.get("corConsensus")).lower() == "dag"
+            else "falcon",
         ):
             p = os.path.join(blocks_dir, f"block_{bi:05d}.fasta.gz")
             write_fasta(p + ".WORKING.gz", items)
@@ -423,9 +446,10 @@ def correction_phase(ctx: AssemblyCtx, raw_inputs: list[str]) -> None:
         with _gz.open(out + ".WORKING.gz", "rt") as fh:
             n = sum(1 for line in fh if line.startswith(">"))
         os.replace(out + ".WORKING.gz", out)
-        import shutil
+        if not bool(ctx.cfg.get("saveReadCorrections")):
+            import shutil
 
-        shutil.rmtree(blocks_dir, ignore_errors=True)  # concatenated
+            shutil.rmtree(blocks_dir, ignore_errors=True)  # concatenated
         ctx.report.add(
             "cor.correct",
             f"corrected {n} reads in {n_blocks} blocks -> {out}",
@@ -639,7 +663,8 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
                 band=int(ctx.cfg.get("utgBandWidth")) * 2,
             )
             new_q = adjust_overlap_erates(
-                rs, st, corr, band=int(ctx.cfg.get("utgBandWidth"))
+                rs, st, corr, band=int(ctx.cfg.get("utgBandWidth")),
+                chunk=int(ctx.cfg.get("oeaBatchSize")),
             )
             n_fix = sum(len(v) for v in corr.values())
             before = float(np.median(st.erate)) if len(st) else 0.0
@@ -662,12 +687,15 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
     utg_dir = os.path.join(d, f"{ctx.prefix}.utgStore")
 
     def tigs_fn() -> None:
+        bat_gb = int(ctx.cfg.get("batMemory"))
         tigs = build_unitigs(
             st, rs.length,
             max_erate=float(ctx.cfg.get("utgOvlErrorRate")),
             min_span=int(ctx.cfg.get("minOverlapLength")),
             min_reads_per_contig=int(ctx.cfg.get("contigFilterMinReads")),
             deviation=float(ctx.cfg.get("utgGraphDeviation")),
+            # ~48 B per overlap row across the graph phase's columns
+            max_rows=(bat_gb << 30) // 48 if bat_gb > 0 else 0,
         )
         # unitigs = the graph tigs BEFORE repeat breaking (the reference
         # keeps separate utgStore/ctgStore, bogart.C:562-598); saved here

@@ -32,7 +32,16 @@ def main() -> None:
 
     os.makedirs(wd, exist_ok=True)
     t0 = time.time()
-    g = random_genome(gsize, seed=7)
+    # CANU_TPU_REPEAT_SPEC="6000x12,2000x25" plants exact repeat families
+    # (config-4 yeast-like repeat separation; sim/simulate.py repeat_spec)
+    rep_env = os.environ.get("CANU_TPU_REPEAT_SPEC", "")
+    repeat_spec = None
+    if rep_env:
+        repeat_spec = [
+            (int(p.split("x")[0]), int(p.split("x")[1]))
+            for p in rep_env.split(",") if p.strip()
+        ]
+    g = random_genome(gsize, seed=7, repeat_spec=repeat_spec)
     rs, _ = simulate_reads(
         g, coverage=cov, mean_len=3500, min_len=1500, max_len=7800,
         error_rate=0.10, seed=8,
@@ -100,18 +109,33 @@ def main() -> None:
         "bases": rs.total_bases, "wall_s": round(wall, 1),
         "n_contigs": len(contigs),
     }
+    # judge on CPU in a subprocess: the long TPU run leaves the chip
+    # fragmented and a device evaluate can RESOURCE_EXHAUSTED after an
+    # otherwise-successful assembly (observed run1m_v3)
+    ev_code = (
+        "import os,sys,json\n"
+        "os.environ['JAX_PLATFORMS']='cpu'\n"
+        "os.environ['CANU_TPU_NO_COMPILE_CACHE']='1'\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "from canu_tpu.io import fastx\n"
+        "from canu_tpu.sim.bogus import evaluate_assembly\n"
+        "from canu_tpu.sim.simulate import random_genome\n"
+        "from canu_tpu.utils import bitpack\n"
+        f"g = random_genome({gsize}, seed=7, repeat_spec={repeat_spec!r})\n"
+        f"cs = [bitpack.seq_to_codes(c.seq) for c in fastx.read_fastx({os.path.join(wd, 'asm.contigs.fasta')!r})]\n"
+        "ev = evaluate_assembly(g, cs, k=21, circular=True)\n"
+        "print(json.dumps({'ng50': ev.contig_ng50, 'ideal_ng50': ev.ideal_ng50,\n"
+        "  'genome_fraction': round(ev.genome_fraction, 4),\n"
+        "  'misjoins': ev.n_misjoins, 'identity': round(ev.identity, 5),\n"
+        "  'summary': ev.summary()}))\n"
+    )
     try:
-        ev = evaluate_assembly(
-            g, [bitpack.seq_to_codes(c.seq) for c in contigs], k=21,
-            circular=True,
-        )
-        print("# " + ev.summary(), flush=True)
-        res.update({
-            "ng50": ev.contig_ng50, "ideal_ng50": ev.ideal_ng50,
-            "genome_fraction": round(ev.genome_fraction, 4),
-            "misjoins": ev.n_misjoins,
-            "identity": round(ev.identity, 5),
-        })
+        r = subprocess.run([sys.executable, "-c", ev_code], timeout=1800,
+                           capture_output=True, text=True)
+        evd = json.loads(r.stdout.strip().splitlines()[-1])
+        print("# " + evd.pop("summary"), flush=True)
+        res.update(evd)
     except Exception as e:  # the assembly is DONE; don't lose the result
         print(f"# evaluation failed ({e}); rerun evaluate_assembly on CPU",
               flush=True)
