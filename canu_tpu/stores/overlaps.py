@@ -171,12 +171,17 @@ class OverlapStore:
     # ---- persistence ----
 
     def save(self, path: str | os.PathLike) -> None:
+        """One raw .npy per column (v2): memory-mappable on load — the
+        reference mmaps its stores (/root/reference/src/AS_UTL/
+        memoryMappedFile.H); a compressed npz would force a whole-RAM
+        materialization at the 140 Mb-genome scale."""
         path = os.fspath(path)
         tmp = path + ".WORKING"
         os.makedirs(tmp, exist_ok=True)
-        np.savez(os.path.join(tmp, "overlaps.npz"), **{c: getattr(self, c) for c in _COLS})
+        for c in _COLS:
+            np.save(os.path.join(tmp, c + ".npy"), getattr(self, c))
         with open(os.path.join(tmp, "meta.json"), "w") as fh:
-            json.dump({"version": 1, "n_reads": self.n_reads, "rows": len(self)}, fh)
+            json.dump({"version": 2, "n_reads": self.n_reads, "rows": len(self)}, fh)
         if os.path.exists(path):
             import shutil
 
@@ -184,12 +189,19 @@ class OverlapStore:
         os.rename(tmp, path)
 
     @classmethod
-    def load(cls, path: str | os.PathLike) -> "OverlapStore":
+    def load(cls, path: str | os.PathLike, mmap: bool = True) -> "OverlapStore":
         path = os.fspath(path)
         with open(os.path.join(path, "meta.json")) as fh:
             meta = json.load(fh)
-        with np.load(os.path.join(path, "overlaps.npz")) as z:
-            cols = {c: z[c] for c in _COLS}
+        if meta.get("version", 1) >= 2:
+            cols = {
+                c: np.load(os.path.join(path, c + ".npy"),
+                           mmap_mode="r" if mmap else None)
+                for c in _COLS
+            }
+        else:  # legacy v1 npz store (whole-RAM)
+            with np.load(os.path.join(path, "overlaps.npz")) as z:
+                cols = {c: z[c] for c in _COLS}
         return cls(meta["n_reads"], **cols)
 
 
