@@ -153,6 +153,10 @@ class Config:
         self._reg("oeaBatchSize", 512, int,
                   "overlaps re-verified per device chunk in OEA "
                   "(reference oeaBatchSize role)")
+        self._reg("logFileFlags", "", str,
+                  "comma list of graph-phase log files to write "
+                  "(bestedges,tigs,repeats; reference bogart "
+                  "logFileFlags, AS_BAT_Logging.H)")
         self._reg("corMinEvidenceLength", 0, int, "min evidence overlap length for correction")
         # reference names and defaults (Defaults.pm:881-882, both 1).
         # Round 2 used coverage 2 (single-overlap tails cost ~0.05%

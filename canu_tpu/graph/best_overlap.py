@@ -35,6 +35,7 @@ the TPU's job was scoring the edges (SURVEY.md §7 step 10).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -407,13 +408,19 @@ def build_unitigs(
     deviation: float = 6.0,
     drop_dead_ends: bool = True,
     max_rows: int = 0,
+    log_dir: str | None = None,
+    log_flags: frozenset = frozenset(),
 ) -> TigStore:
     """Greedy mutual-best unitigs + contained placement + singletons.
 
     max_rows > 0 caps the overlaps held for the graph phase: per read,
     best-scoring first — the reference OverlapCache's memory-budgeted
     load (computeOverlapLimit, /root/reference/src/bogart/
-    AS_BAT_OverlapCache.H:249-281), driven by the batMemory parameter."""
+    AS_BAT_OverlapCache.H:249-281), driven by the batMemory parameter.
+
+    log_dir + log_flags write the reference bogart's flag-gated
+    per-phase log files (AS_BAT_Logging.H:57-82): 'bestedges' dumps the
+    per-read best 5'/3' edge table, 'tigs' the greedy-walk tig list."""
     import logging
 
     log = logging.getLogger("canu_tpu.bogart")
@@ -454,6 +461,18 @@ def build_unitigs(
         int(bog.singleton.sum()), int(bog.is_contained.sum()),
         float(bog.error_limit), deviation,
     )
+    if log_dir and "bestedges" in log_flags:
+        # reference best.edges log (AS_BAT_BestOverlapGraph.C writeLog)
+        os.makedirs(log_dir, exist_ok=True)
+        with open(os.path.join(log_dir, "best.edges.log"), "w") as fh:
+            fh.write("#read\tbest5\tbest3\tcontainedIn\tsuspicious\tspur\n")
+            for r in range(1, n + 1):
+                fh.write(
+                    f"{r}\t{int(bog.best.b_id[r, 0])}\t"
+                    f"{int(bog.best.b_id[r, 1])}\t"
+                    f"{int(bog.best.contained_in[r])}\t"
+                    f"{int(bog.suspicious[r])}\t{int(bog.spur[r])}\n"
+                )
     visited = np.zeros(n + 1, bool)
     tigs = TigStore()
     tig_of_read = np.zeros(n + 1, np.int32)  # 1-based tig ids, 0 = none
@@ -610,6 +629,13 @@ def build_unitigs(
     from .orphans import merge_orphans
 
     tigs, _, _ = merge_orphans(tigs, store, read_lengths)
+    if log_dir and "tigs" in log_flags:
+        os.makedirs(log_dir, exist_ok=True)
+        with open(os.path.join(log_dir, "tigs.log"), "w") as fh:
+            fh.write("#tig\tclass\treads\tspan\n")
+            for t in tigs:
+                fh.write(f"{t.tig_id}\t{t.tig_class}\t{t.n_reads}\t"
+                         f"{t.length}\n")
     return tigs
 
 

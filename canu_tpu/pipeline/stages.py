@@ -688,6 +688,12 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
 
     def tigs_fn() -> None:
         bat_gb = int(ctx.cfg.get("batMemory"))
+        # flag-gated per-phase graph logs (bogart logFileFlags role)
+        lf = frozenset(
+            s.strip().lower()
+            for s in str(ctx.cfg.get("logFileFlags")).split(",") if s.strip()
+        )
+        log_dir = os.path.join(d, "unitigger-logs") if lf else None
         tigs = build_unitigs(
             st, rs.length,
             max_erate=float(ctx.cfg.get("utgOvlErrorRate")),
@@ -696,6 +702,7 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
             deviation=float(ctx.cfg.get("utgGraphDeviation")),
             # ~48 B per overlap row across the graph phase's columns
             max_rows=(bat_gb << 30) // 48 if bat_gb > 0 else 0,
+            log_dir=log_dir, log_flags=lf,
         )
         # unitigs = the graph tigs BEFORE repeat breaking (the reference
         # keeps separate utgStore/ctgStore, bogart.C:562-598); saved here
@@ -715,6 +722,13 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
             )
             n_regions = len(regions)
             n_broken = sum(1 for r in regions if r.broke)
+            if log_dir and "repeats" in lf:
+                os.makedirs(log_dir, exist_ok=True)
+                with open(os.path.join(log_dir, "repeats.log"), "w") as fh:
+                    fh.write("#tig\tbgn\tend\tbroke\n")
+                    for r in regions:
+                        fh.write(f"{r.tig_id}\t{r.bgn}\t{r.end}\t"
+                                 f"{int(r.broke)}\n")
         # contigFilter length/low-coverage classification (the reference's
         # contigFilter 5-tuple beyond minReads, Defaults.pm contigFilter:
         # "minReads minLength singleReadSpan lowCovFraction lowCovDepth")

@@ -80,6 +80,21 @@ def test_bat_memory_overlap_cap(small_overlaps):
     assert n_capped <= n_full + 1 and n_capped >= 1
 
 
+def test_log_file_flags(small_overlaps, tmp_path):
+    """logFileFlags: flag-gated per-phase graph log files (bogart
+    AS_BAT_Logging.H role)."""
+    _g, rs, st = small_overlaps
+    from canu_tpu.graph import build_unitigs
+
+    ld = str(tmp_path / "logs")
+    build_unitigs(st, rs.length, max_erate=0.2, log_dir=ld,
+                  log_flags=frozenset({"bestedges", "tigs"}))
+    be = open(os.path.join(ld, "best.edges.log")).read().splitlines()
+    assert be[0].startswith("#read") and len(be) == rs.n_reads + 1
+    tg = open(os.path.join(ld, "tigs.log")).read().splitlines()
+    assert tg[0].startswith("#tig") and len(tg) >= 2
+
+
 def test_show_next(tmp_path):
     """showNext reports the next stage and stops without running it."""
     from canu_tpu.io.fastx import write_fasta
