@@ -349,8 +349,55 @@ class DeviceKmerCounts2:
                           counts[keep].astype(np.int64))
 
 
+def count_readset_host(readset: ReadSet, k: int) -> "KmerCounts":
+    """Host canonical k-mer counter (vectorized numpy) for inputs whose
+    instance table exceeds the device budget.
+
+    The device counter concatenates EVERY k-mer instance into one
+    on-device sort; past ~130M 2-lane instances the sort temporaries
+    exhaust a v5e's HBM (observed: 12 Mb x 18x corrected reads OOM'd
+    obt-meryl on every attempt).  The reference's meryl is a host
+    counter too (/root/reference/src/meryl/meryl.C:69-126, segment by
+    memory + sort per segment); here one numpy pass computes fwd/rc
+    64-bit k-mers with k shifted adds and np.unique sorts once —
+    ~O(30 s) per 200 Mbase on this host, zero HBM.
+    """
+    from ..utils import bitpack
+
+    assert 1 < k <= 32
+    words = np.asarray(readset.words)
+    n = len(words) * bitpack.BASES_PER_WORD
+    if n == 0 or readset.n_reads == 0:
+        return KmerCounts(k, np.zeros(0, np.uint64 if k > 16 else np.uint32),
+                          np.zeros(0, np.int64))
+    allb = bitpack.unpack_words(words, n)
+    base0 = (readset.word_off[:-1] * bitpack.BASES_PER_WORD).astype(np.int64)
+    L = readset.length.astype(np.int64)
+    # valid k-mer start positions: within a read, start + k <= read end
+    delta = np.zeros(n + 1, np.int32)
+    np.add.at(delta, base0, 1)
+    np.add.at(delta, base0 + np.maximum(L - k + 1, 0), -1)
+    vm = np.cumsum(delta[:-1]) > 0
+    m = n - k + 1
+    if m <= 0:
+        return KmerCounts(k, np.zeros(0, np.uint64 if k > 16 else np.uint32),
+                          np.zeros(0, np.int64))
+    fwd = np.zeros(m, np.uint64)
+    rc = np.zeros(m, np.uint64)
+    for j in range(k):
+        bj = allb[j : j + m].astype(np.uint64)
+        fwd = (fwd << np.uint64(2)) | bj
+        rc |= (np.uint64(3) - bj) << np.uint64(2 * j)
+    canon = np.minimum(fwd, rc)[vm[:m]]
+    u, c = np.unique(canon, return_counts=True)
+    if k <= 16:
+        u = u.astype(np.uint32)
+    return KmerCounts(k, u, c.astype(np.int64))
+
+
 def count_readset_device(
-    readset: ReadSet, k: int = 16, block_size: int = 512
+    readset: ReadSet, k: int = 16, block_size: int = 512,
+    max_instances: int | None = None,
 ):
     """Count canonical k-mers of a whole ReadSet with one device sort.
 
@@ -359,8 +406,24 @@ def count_readset_device(
     process); nothing large crosses back to host.  k <= 16 counts one
     uint32 lane; 16 < k <= 32 counts exact 2-lane k-mers (the reference
     ovl/utg stages default to k=22, Defaults.pm ovlMerSize).
+
+    Above ``max_instances`` total k-mer instances (default 2^27 one-lane
+    / 2^26 two-lane, override CANU_TPU_KMER_MAX_INSTANCES) the device
+    sort cannot fit HBM and the host counter takes over, returning a
+    host KmerCounts — every downstream consumer (histogram, thresholds,
+    frequent_kmers) accepts both.
     """
     two = k > 16
+    if max_instances is None:
+        import os as _os
+
+        try:
+            max_instances = int(_os.environ["CANU_TPU_KMER_MAX_INSTANCES"])
+        except (KeyError, ValueError):
+            max_instances = (1 << 26) if two else (1 << 27)
+    est = int(readset.length.astype(np.int64).sum())
+    if est > max_instances:
+        return count_readset_host(readset, k)
     parts = []
     for ids, W in length_bucketed_blocks(readset, block_size):
         words, lengths = readset.block_words(ids, W)

@@ -394,14 +394,51 @@ def block_geometry(max_t_len: int) -> tuple[int, int]:
     return G, Lt
 
 
-# chunks per device dispatch.  MUST stay 1: a real lax.scan over chunks
-# (CP>=8 measured, likely any CP>1 that XLA doesn't unroll) FAULTS the
-# TPU worker — isolated with scripts/bisect_fault.py on 2026-08-21: the
+# chunks per device dispatch.  A real lax.scan over chunks (CP>=8
+# measured, likely any CP>1 that XLA doesn't unroll) FAULTS the TPU
+# worker — isolated with scripts/bisect_fault.py on 2026-08-21: the
 # identical program passes at CP=1 and on CPU at any CP, and a fault
-# wedges the whole device for 5-15 min.  Dispatches are async (only the
-# finalize fetch syncs), so per-chunk dispatch costs no extra tunnel
-# round-trips; one CP also means ONE compiled vote shape instead of two.
+# wedges the whole device for 5-15 min.  CP>1 here therefore uses a
+# PYTHON-LEVEL unroll inside one jitted program (_vote_many_cp): no
+# nested scan ever reaches the device, per-dispatch fixed overhead is
+# amortized CP-fold.  Compile cost grows ~CP-fold per shape, so keep CP
+# modest; override with CANU_TPU_VOTE_CP.
 CHUNKS_PER_DISPATCH = 1
+
+
+def _vote_cp() -> int:
+    import os as _os
+
+    try:
+        return max(1, int(_os.environ.get("CANU_TPU_VOTE_CP",
+                                          CHUNKS_PER_DISPATCH)))
+    except ValueError:
+        return CHUNKS_PER_DISPATCH
+
+
+@partial(jax.jit, static_argnames=("band", "n_rows", "Lt", "G", "ends_free"),
+         donate_argnums=(0,))
+def _vote_many_cp(
+    votes: jax.Array,  # f32[G, 15, Lt] accumulator (donated)
+    t_words: jax.Array, t_lengths: jax.Array,
+    e_words: jax.Array, e_lengths: jax.Array,
+    packed_cols: jax.Array,  # int32[CP, 9, B]: CP chunks, python-unrolled
+    band: int, n_rows: int, Lt: int, G: int,
+    ends_free: bool = False,
+) -> jax.Array:
+    """CP chunks per dispatch via a Python unroll (NOT lax.scan — see
+    CHUNKS_PER_DISPATCH).  One compiled program per (CP, B) shape."""
+    for c in range(packed_cols.shape[0]):
+        xs = packed_cols[c]
+        flipped = xs[6] != 0
+        slot = xs[7]
+        weight = jax.lax.bitcast_convert_type(xs[8], jnp.float32)
+        votes = _vote_chunk_core(
+            votes, t_words, t_lengths, e_words, e_lengths,
+            xs[0], xs[1], xs[2], xs[3], xs[4], xs[5], flipped, slot, weight,
+            band=band, n_rows=n_rows, Lt=Lt, G=G, ends_free=ends_free,
+        )
+    return votes
 
 _COL_FIELDS = ("t_idx", "e_idx", "t_bgn", "t_span", "e_lo", "e_span",
                "flipped", "slot", "weight")
@@ -447,13 +484,26 @@ def pile_votes(
         if pad_n:
             v = np.concatenate([v, np.zeros(pad_n, np.int32)])
         packed[:, fi, :] = v.reshape(C_total, B)
-    # one chunk per dispatch (see CHUNKS_PER_DISPATCH): dispatches are
-    # async, so the host loop races ahead and the device queue stays full
-    for c0 in range(C_total):
+    # CP chunks per dispatch (python-unrolled program, see
+    # CHUNKS_PER_DISPATCH); dispatches are async, so the host loop races
+    # ahead and the device queue stays full.  The last partial group
+    # falls back to single-chunk dispatches to avoid a second (smaller)
+    # CP shape compile.
+    cp = _vote_cp()
+    c0 = 0
+    while c0 + cp <= C_total and cp > 1:
+        votes = _vote_many_cp(
+            votes, t_words, t_lengths, e_words, e_lengths,
+            jnp.asarray(packed[c0 : c0 + cp]), band_c, n_rows, Lt, G,
+            ends_free,
+        )
+        c0 += cp
+    while c0 < C_total:
         votes = _vote_many(
             votes, t_words, t_lengths, e_words, e_lengths,
             jnp.asarray(packed[c0]), band_c, n_rows, Lt, G, ends_free,
         )
+        c0 += 1
     return votes
 
 
