@@ -305,7 +305,10 @@ def _segment_identity(
         # b starts EXACTLY at the first anchor's genome position: the DP
         # is semi-global from (0,0) (leading b columns would be charged
         # as edits); right slack absorbs contig insertions
-        gc = genome_ext[s.g_bgn : s.g_end + slack]
+        # clip to the buffer: a segment whose genome span exceeds its
+        # contig span by more than the slack (net contig deletions)
+        # would otherwise overflow the b rows (observed at 12 Mb scale)
+        gc = genome_ext[s.g_bgn : s.g_end + slack][: max_a + 2 * slack]
         a[i, : len(ac)] = ac
         b[i, : len(gc)] = gc
         a_len[i] = len(ac)
@@ -313,8 +316,12 @@ def _segment_identity(
     # band center follows each segment's anchor chain (piecewise linear,
     # slope-1 extrapolation past the last anchor) — a straight diagonal
     # drifts out of a 128-band over tens-of-kb segments because indel
-    # noise random-walks
-    M = 64
+    # noise random-walks.  M=64 points proved too sparse for mega-base
+    # segments (12 Mb repeat run: 10-20 kb between sampled anchors let
+    # the interpolated center drift past band/2 and whole stretches of
+    # PERFECT sequence scored ~0.5 identity); 2048 keeps sampled-anchor
+    # spacing ~500 bases at 1 Mb.
+    M = 2048
     BIG = np.int64(1 << 24)
     ramp = np.arange(M, dtype=np.int64)
     xa = np.tile(BIG + ramp, (B, 1))
