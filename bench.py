@@ -113,6 +113,10 @@ def main() -> None:
                 ("genome", "coverage", "wall_s", "n_contigs", "ng50",
                  "genome_fraction", "misjoins", "identity")
             }
+            # window-sampled identity (recorded when the banded ruler
+            # mis-scores mega-base segments, see BASELINE.md config 4)
+            if r.get("identity_window_sample") is not None:
+                e2e[name]["identity_window_sample"] = r["identity_window_sample"]
         except Exception:
             pass
     if e2e:
