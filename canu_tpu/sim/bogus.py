@@ -281,7 +281,17 @@ def _segment_identity(
     k: int, band: int = 128,
 ) -> None:
     """Measure alignment identity of each placed segment in one batched
-    Myers pass (the assembler's own verify kernel as a ruler)."""
+    Myers pass (the assembler's own verify kernel as a ruler).
+
+    Structural indels (collapsed/expanded repeat copies) shift the true
+    alignment diagonal by more than the band in ONE step — a band-128 DP
+    cannot traverse them and everything after the event scores ~0.5
+    (observed on the 12 Mb repeat run: provably near-exact contigs
+    measured 0.48).  The anchor chain KNOWS where those events are, so
+    each placement is split at diagonal jumps > band/2, the pieces are
+    measured independently, and each jump is charged |Δdiagonal| edits
+    exactly once:  identity = 1 − (Σ piece_edits + Σ jumps)/(span+Σ jumps).
+    """
     if not segs:
         return
     import jax.numpy as jnp
@@ -290,49 +300,79 @@ def _segment_identity(
     from ..ops.myers import banded_extend_myers
 
     slack = band
-    max_a = max(s.c_end - s.c_bgn for s in segs)
+    # ---- split each placement at anchor-diagonal jumps ----------------
+    # sub: (parent_i, a0, a1, b0, b1, pts_a, pts_b) in the parent's
+    # ORIENTED local coordinates (a into the oriented contig slice,
+    # b relative to g_bgn)
+    sub: list[tuple] = []
+    jump_pen = np.zeros(len(segs), np.int64)
+    for i, s in enumerate(segs):
+        span_a = s.c_end - s.c_bgn
+        span_b = s.g_end - s.g_bgn
+        if s.anchor_a is None or len(s.anchor_a) < 2:
+            sub.append((i, 0, span_a, 0, span_b, None, None))
+            continue
+        aa = np.asarray(s.anchor_a, np.int64)
+        bb = np.asarray(s.anchor_b, np.int64)
+        d = bb - aa
+        cut = np.flatnonzero(np.abs(np.diff(d)) > band // 2)
+        jump_pen[i] = int(np.abs(np.diff(d)[cut]).sum())
+        starts = np.concatenate([[0], cut + 1])
+        ends = np.concatenate([cut, [len(aa) - 1]])
+        for s0, s1 in zip(starts.tolist(), ends.tolist()):
+            if s1 <= s0:
+                continue
+            a0, a1 = int(aa[s0]), int(aa[s1]) + k
+            b0, b1 = int(bb[s0]), int(bb[s1]) + k
+            if s0 == 0:
+                a0, b0 = 0, 0
+            if s1 == len(aa) - 1:
+                a1, b1 = span_a, span_b
+            if a1 - a0 < k:
+                continue
+            sub.append((i, a0, a1, b0, b1, aa[s0 : s1 + 1] - a0,
+                        bb[s0 : s1 + 1] - b0))
+    if not sub:
+        return
+    max_a = max(t[2] - t[1] for t in sub)
     n_rows = max_a
-    B = len(segs)
+    B = len(sub)
     a = np.zeros((B, max_a), np.uint8)
     b = np.zeros((B, max_a + 2 * slack), np.uint8)
     a_len = np.zeros(B, np.int32)
     b_len = np.zeros(B, np.int32)
-    centers = np.zeros((B, 2), np.int64)
-    for i, s in enumerate(segs):
-        ac = contigs[s.contig][s.c_bgn : s.c_end]
-        if s.reverse:
-            ac = revcomp_codes(ac)
-        # b starts EXACTLY at the first anchor's genome position: the DP
-        # is semi-global from (0,0) (leading b columns would be charged
-        # as edits); right slack absorbs contig insertions
-        # clip to the buffer: a segment whose genome span exceeds its
-        # contig span by more than the slack (net contig deletions)
-        # would otherwise overflow the b rows (observed at 12 Mb scale)
-        gc = genome_ext[s.g_bgn : s.g_end + slack][: max_a + 2 * slack]
-        a[i, : len(ac)] = ac
-        b[i, : len(gc)] = gc
-        a_len[i] = len(ac)
-        b_len[i] = len(gc)
-    # band center follows each segment's anchor chain (piecewise linear,
+    ori_cache: dict[int, np.ndarray] = {}
+    for j, (i, a0, a1, b0, b1, _pa, _pb) in enumerate(sub):
+        s = segs[i]
+        if i not in ori_cache:
+            ac_full = contigs[s.contig][s.c_bgn : s.c_end]
+            ori_cache[i] = revcomp_codes(ac_full) if s.reverse else ac_full
+        ac = ori_cache[i][a0:a1]
+        # b starts EXACTLY at the piece's first anchor genome position:
+        # the DP is semi-global from (0,0); right slack absorbs contig
+        # insertions.  Clip to the buffer (a piece whose genome span
+        # exceeds contig span + slack would overflow the rows).
+        gc = genome_ext[s.g_bgn + b0 : s.g_bgn + b1 + slack][: max_a + 2 * slack]
+        a[j, : len(ac)] = ac
+        b[j, : len(gc)] = gc
+        a_len[j] = len(ac)
+        b_len[j] = len(gc)
+    # band center follows each piece's anchor chain (piecewise linear,
     # slope-1 extrapolation past the last anchor) — a straight diagonal
-    # drifts out of a 128-band over tens-of-kb segments because indel
-    # noise random-walks.  M=64 points proved too sparse for mega-base
-    # segments (12 Mb repeat run: 10-20 kb between sampled anchors let
-    # the interpolated center drift past band/2 and whole stretches of
-    # PERFECT sequence scored ~0.5 identity); 2048 keeps sampled-anchor
-    # spacing ~500 bases at 1 Mb.
+    # drifts out of a 128-band over tens-of-kb pieces because indel
+    # noise random-walks
     M = 2048
     BIG = np.int64(1 << 24)
     ramp = np.arange(M, dtype=np.int64)
     xa = np.tile(BIG + ramp, (B, 1))
     xb = xa.copy()
-    for i, s in enumerate(segs):
-        if s.anchor_a is None or len(s.anchor_a) == 0:
-            xa[i, 0] = 0
-            xb[i, 0] = 0
+    for j, (_i, _a0, _a1, _b0, _b1, pa, pb) in enumerate(sub):
+        if pa is None or len(pa) == 0:
+            xa[j, 0] = 0
+            xb[j, 0] = 0
             continue
-        pts_a = np.concatenate([[0], s.anchor_a])
-        pts_b = np.concatenate([[0], s.anchor_b])
+        pts_a = np.concatenate([[0], pa])
+        pts_b = np.concatenate([[0], pb])
         if len(pts_a) > M:
             pick = np.linspace(0, len(pts_a) - 1, M).astype(np.int64)
             pts_a, pts_b = pts_a[pick], pts_b[pick]
@@ -340,10 +380,10 @@ def _segment_identity(
         keep = np.concatenate([[True], np.diff(pts_a) > 0])
         pts_a, pts_b = pts_a[keep], pts_b[keep]
         m = len(pts_a)
-        xa[i, :m] = pts_a
-        xb[i, :m] = pts_b
-        xa[i, m:] = pts_a[-1] + 1 + ramp[: M - m]
-        xb[i, m:] = pts_b[-1] + 1 + ramp[: M - m]
+        xa[j, :m] = pts_a
+        xb[j, :m] = pts_b
+        xa[j, m:] = pts_a[-1] + 1 + ramp[: M - m]
+        xb[j, m:] = pts_b[-1] + 1 + ramp[: M - m]
     cen = _interp_centers(jnp.asarray(xa), jnp.asarray(xb), None, n_rows)
     e, au, bu = banded_extend_myers(
         jnp.asarray(a), jnp.asarray(a_len), jnp.asarray(b), jnp.asarray(b_len),
@@ -351,9 +391,14 @@ def _segment_identity(
     )
     e = np.asarray(e)
     au = np.asarray(au)
+    tot_e = np.zeros(len(segs), np.int64)
+    tot_sp = np.zeros(len(segs), np.int64)
+    for j, (i, *_rest) in enumerate(sub):
+        tot_e[i] += int(e[j])
+        tot_sp[i] += max(1, int(au[j]))
     for i, s in enumerate(segs):
-        span = max(1, int(au[i]))
-        s.identity = max(0.0, 1.0 - float(e[i]) / span)
+        denom = max(1, int(tot_sp[i] + jump_pen[i]))
+        s.identity = max(0.0, 1.0 - float(tot_e[i] + jump_pen[i]) / denom)
 
 
 def evaluate_assembly(
