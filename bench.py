@@ -104,9 +104,10 @@ def main() -> None:
             with open(rj) as fh:
                 r = json.load(fh)
             name = os.path.basename(os.path.dirname(rj))
-            # ref* dirs hold REFERENCE canu timings (scripts/
-            # reference_e2e.py), not ours — label them unambiguously
-            if name.startswith("ref"):
+            # reference_e2e.py results carry an 'rc' key (the reference
+            # canu exit code) that scale_run.py never writes — label
+            # those unambiguously as REFERENCE timings, not ours
+            if "rc" in r:
                 name = f"REFERENCE-canu-{name}"
             e2e[name] = {
                 k: r.get(k) for k in

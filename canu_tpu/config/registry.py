@@ -147,6 +147,11 @@ class Config:
                   "overlap store build: auto | memory (in-RAM) | spill "
                   "(stream + native external sort; reference ovsMethod "
                   "sequential/parallel role)")
+        self._reg("ovsShardExchange", "range", str,
+                  "multi-process store-input exchange: range (a_id-range "
+                  "all_to_all, no process holds the full table — reference "
+                  "ovStoreBucketizer/Sorter shuffle) | allgather "
+                  "(replicate the verified table on every process)")
         self._reg("batMemory", 0, int,
                   "GB budget for overlaps loaded into the graph phase; 0 = "
                   "unlimited (reference batMemory / OverlapCache limit)")
@@ -186,6 +191,11 @@ class Config:
         self._reg("enableOEA", True, _bool, "overlap error adjustment: RED read-error voting + OEA erate recompute")
         self._reg("oeaMinAltVotes", 4, int, "RED: min evidence votes for an alternative base to call an error")
         self._reg("oeaMaxOwnVotes", 1, int, "RED: max evidence votes for the read's own base at an error")
+        self._reg("oeaOnlyChanged", True, _bool,
+                  "OEA: re-verify only overlaps touching a RED-corrected "
+                  "read; untouched overlaps keep their stored erate "
+                  "(correctOverlaps.C Correct_Frags -> Redo_Olaps on "
+                  "affected frags)")
         self._reg("repeatDetect", True, _bool, "break contigs at confused repeat boundaries (bogart markRepeatReads)")
         self._reg("repeatMinEvidence", 2, int, "min distinct external reads to call a repeat region")
         self._reg("repeatConfusedAbsolute", 2100, int, "bogart -ca: external edge within this score of internal -> confused")

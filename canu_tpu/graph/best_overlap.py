@@ -398,6 +398,60 @@ def place_unplaced(
     return np.concatenate(placed_ids) if placed_ids else np.zeros(0, np.int64)
 
 
+def cap_store_rows(
+    store: OverlapStore, max_rows: int, log=None,
+) -> OverlapStore:
+    """Memory-budgeted per-read overlap cap (reference OverlapCache
+    computeOverlapLimit, /root/reference/src/bogart/
+    AS_BAT_OverlapCache.H:249-281): keep the best-scoring <= per_read
+    rows per a_id, then restore the "every overlap stored twice"
+    invariant by union over canonical pair keys — a kept a->b row keeps
+    its b->a mirror too (the mirror is an exact column swap, same
+    flipped/erate_q), so n_overlaps (len//2) and mutual-best edges stay
+    consistent."""
+    per_read = max(16, max_rows // max(1, store.n_reads))
+    score = (store.a_end - store.a_bgn).astype(np.int64) * (
+        10000 - store.erate_q.astype(np.int64)
+    )
+    order = np.lexsort((-score, store.a_id))
+    a_sorted = store.a_id[order]
+    iota = np.arange(len(order), dtype=np.int64)
+    seg0 = np.maximum.accumulate(
+        np.where(np.concatenate([[True], a_sorted[1:] != a_sorted[:-1]]),
+                 iota, 0)
+    )
+    keep_rows = order[(iota - seg0) < per_read]
+    mask = np.zeros(len(store), bool)
+    mask[keep_rows] = True
+    lo_is_a = store.a_id <= store.b_id
+    key = np.empty(
+        len(store),
+        dtype=[("lo", "<i8"), ("hi", "<i8"), ("lb", "<i4"), ("le", "<i4"),
+               ("hb", "<i4"), ("he", "<i4"), ("f", "u1"), ("e", "<u2")],
+    )
+    key["lo"] = np.where(lo_is_a, store.a_id, store.b_id)
+    key["hi"] = np.where(lo_is_a, store.b_id, store.a_id)
+    key["lb"] = np.where(lo_is_a, store.a_bgn, store.b_bgn)
+    key["le"] = np.where(lo_is_a, store.a_end, store.b_end)
+    key["hb"] = np.where(lo_is_a, store.b_bgn, store.a_bgn)
+    key["he"] = np.where(lo_is_a, store.b_end, store.a_end)
+    key["f"] = store.flipped
+    key["e"] = store.erate_q
+    kept_keys = np.unique(key[mask])
+    mask |= np.isin(key, kept_keys)
+    cols = {
+        c: getattr(store, c)[mask]
+        for c in ("a_id", "b_id", "flipped", "a_bgn", "a_end",
+                  "b_bgn", "b_end", "erate_q")
+    }
+    if log is not None:
+        log.info(
+            "OverlapCache limit (batMemory): kept %d/%d overlaps "
+            "(<= %d per read)", int(mask.sum()), len(store), per_read,
+        )
+    return OverlapStore(store.n_reads, **cols)
+
+
 def build_unitigs(
     store: OverlapStore,
     read_lengths: np.ndarray,
@@ -425,30 +479,7 @@ def build_unitigs(
 
     log = logging.getLogger("canu_tpu.bogart")
     if max_rows and len(store) > max_rows:
-        per_read = max(16, max_rows // max(1, store.n_reads))
-        score = (store.a_end - store.a_bgn).astype(np.int64) * (
-            10000 - store.erate_q.astype(np.int64)
-        )
-        order = np.lexsort((-score, store.a_id))
-        a_sorted = store.a_id[order]
-        iota = np.arange(len(order), dtype=np.int64)
-        seg0 = np.maximum.accumulate(
-            np.where(np.concatenate([[True], a_sorted[1:] != a_sorted[:-1]]),
-                     iota, 0)
-        )
-        keep_rows = order[(iota - seg0) < per_read]
-        mask = np.zeros(len(store), bool)
-        mask[keep_rows] = True
-        cols = {
-            c: getattr(store, c)[mask]
-            for c in ("a_id", "b_id", "flipped", "a_bgn", "a_end",
-                      "b_bgn", "b_end", "erate_q")
-        }
-        log.info(
-            "OverlapCache limit (batMemory): kept %d/%d overlaps "
-            "(<= %d per read)", int(mask.sum()), len(store), per_read,
-        )
-        store = OverlapStore(store.n_reads, **cols)
+        store = cap_store_rows(store, max_rows, log)
     bog = BestOverlapGraph(store, read_lengths, max_erate, end_slop, min_span,
                            deviation=deviation)
     n = store.n_reads

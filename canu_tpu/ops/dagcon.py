@@ -102,17 +102,29 @@ def paths_for_jobs(
         if pad_n:
             v = np.concatenate([v, np.zeros(pad_n, np.int32)])
         packed[:, fi, :] = v.reshape(C_total, B)
-    pending = []
+    # Bounded in-flight window: dispatch ahead but fetch as we go so at
+    # most MAX_INFLIGHT chunks of js/e_sub device buffers are alive at
+    # once (a whole-backbone dag polish job would otherwise hold every
+    # chunk's buffers in HBM simultaneously).
+    MAX_INFLIGHT = 8
+    pending: list[tuple[int, object, object]] = []
+
+    def _drain_one() -> None:
+        c0, js_d, es_d = pending.pop(0)
+        lo, hi = c0 * B, min((c0 + 1) * B, n)
+        js_out[lo:hi] = np.asarray(js_d)[: hi - lo]
+        es_out[lo:hi] = np.asarray(es_d)[: hi - lo]
+
     for c0 in range(C_total):
         js_d, es_d = _paths_many(
             t_words, t_lengths, e_words, e_lengths,
             jnp.asarray(packed[c0]), band_c, n_rows,
         )
         pending.append((c0, js_d, es_d))
-    for c0, js_d, es_d in pending:
-        lo, hi = c0 * B, min((c0 + 1) * B, n)
-        js_out[lo:hi] = np.asarray(js_d)[: hi - lo]
-        es_out[lo:hi] = np.asarray(es_d)[: hi - lo]
+        if len(pending) >= MAX_INFLIGHT:
+            _drain_one()
+    while pending:
+        _drain_one()
     return js_out, es_out
 
 

@@ -123,8 +123,9 @@ def adjust_overlap_erates(
     band: int = 128,
     chunk: int = 512,
     engine: str | None = None,
+    only_changed: bool = False,
 ) -> np.ndarray:
-    """OEA: re-verify every overlap between corrected reads.
+    """OEA: re-verify overlaps between corrected reads.
 
     Returns the new uint16 erate_q array aligned with the store's rows
     (both mirror copies), ready for st.update_erates — the evalues
@@ -132,6 +133,13 @@ def adjust_overlap_erates(
     rise, matching correctOverlaps.C); a row keeps its old value only
     when the re-verification's span collapsed below half the stored
     span (a banding failure, not a measurement).
+
+    only_changed=True re-verifies ONLY overlaps where at least one read
+    received >= 1 RED correction — the reference applies corrections per
+    frag and redoes only affected overlaps (correctOverlaps.C:156-178
+    Correct_Frags -> Redo_Olaps); an overlap between two untouched reads
+    keeps its stored erate, which the SAME verify kernel produced in the
+    overlap stage.
     """
     from .align import verify_overlaps
     from .minhash import OverlapCandidates
@@ -140,6 +148,13 @@ def adjust_overlap_erates(
         return st.erate_q.copy()
     rs_fixed = apply_corrections(rs, corrections)
     half = st.a_id < st.b_id  # one direction; mirror rows share the erate
+    if only_changed:
+        changed = np.zeros(st.n_reads + 1, bool)
+        for rid in corrections:
+            changed[rid] = True
+        half = half & (changed[st.a_id] | changed[st.b_id])
+        if not half.any():
+            return st.erate_q.copy()
     z = np.zeros(int(half.sum()), np.int32)
     cand = OverlapCandidates(
         a_id=st.a_id[half].astype(np.int32),

@@ -378,6 +378,51 @@ def allgather_overlap_table(table):
     )
 
 
+def table_to_sym_rows(table) -> np.ndarray:
+    """Symmetrize an A->B OverlapTable into int32[2m, 8] store rows in
+    stores.overlaps._COLS order (the 'every overlap stored twice'
+    invariant applied BEFORE the range exchange, so each mirror row
+    routes to its own a_id range owner)."""
+    m = len(table)
+    rows = np.empty((2 * m, 8), np.int32)
+    rows[:m, 0] = table.a_id
+    rows[m:, 0] = table.b_id
+    rows[:m, 1] = table.b_id
+    rows[m:, 1] = table.a_id
+    rows[:m, 2] = table.flipped
+    rows[m:, 2] = table.flipped
+    rows[:m, 3] = table.a_bgn
+    rows[m:, 3] = table.b_bgn
+    rows[:m, 4] = table.a_end
+    rows[m:, 4] = table.b_end
+    rows[:m, 5] = table.b_bgn
+    rows[m:, 5] = table.a_bgn
+    rows[:m, 6] = table.b_end
+    rows[m:, 6] = table.a_end
+    rows[:m, 7] = table.erate_q
+    rows[m:, 7] = table.erate_q
+    return rows
+
+
+def process_sharded_store_rows(readset, pairs: np.ndarray, **verify_kwargs):
+    """Verify a process-strided candidate slice, symmetrize, and exchange
+    by a_id range: returns int32[m_p, 8] rows owned by THIS process,
+    fully sorted.  The memory-bounded replacement for
+    process_sharded_verify + allgather: peak per-process table memory is
+    O(total/n_processes), not O(total) (reference bucketize/sort build,
+    SURVEY.md §3.3)."""
+    from ..ops.align import verify_overlaps
+    from .storesort import process_range_exchange
+
+    pi, n = jax.process_index(), jax.process_count()
+    local = pairs[pi::n] if n > 1 else pairs
+    verify_kwargs.pop("sink", None)
+    tab = verify_overlaps(readset, local, **verify_kwargs)
+    rows = table_to_sym_rows(tab)
+    del tab
+    return process_range_exchange(rows, readset.n_reads)
+
+
 def process_sharded_verify(readset, pairs: np.ndarray, **verify_kwargs):
     """Full-featured banded verification sharded BY PROCESS.
 

@@ -132,6 +132,49 @@ class OverlapStore:
         os.remove(out)
         return st
 
+    @staticmethod
+    def save_from_row_shards(shard_paths: list[str], n_reads: int,
+                             path: str | os.PathLike) -> None:
+        """Write a v2 store directly from per-process sorted row shards
+        (int32[m, 8] .npy files in _COLS order, globally sorted when
+        concatenated in list order — the range-exchange contract).
+        STREAMING: columns are copied shard-by-shard into pre-sized
+        memmaps, so the writer never holds the whole table in RAM (the
+        reference's ovStoreIndexer merge role, SURVEY.md §3.3)."""
+        path = os.fspath(path)
+        tmp = path + ".WORKING"
+        os.makedirs(tmp, exist_ok=True)
+        sizes = []
+        for sp in shard_paths:
+            arr = np.load(sp, mmap_mode="r")
+            assert arr.ndim == 2 and arr.shape[1] == 8, sp
+            sizes.append(len(arr))
+            del arr
+        total = int(sum(sizes))
+        dtypes = {"a_id": np.int32, "b_id": np.int32, "flipped": np.bool_,
+                  "a_bgn": np.int32, "a_end": np.int32, "b_bgn": np.int32,
+                  "b_end": np.int32, "erate_q": np.uint16}
+        from numpy.lib.format import open_memmap
+
+        for ci, c in enumerate(_COLS):
+            dst = open_memmap(os.path.join(tmp, c + ".npy"), mode="w+",
+                              dtype=dtypes[c], shape=(total,))
+            off = 0
+            for sp, sz in zip(shard_paths, sizes):
+                arr = np.load(sp, mmap_mode="r")
+                dst[off : off + sz] = arr[:, ci].astype(dtypes[c])
+                off += sz
+                del arr
+            dst.flush()
+            del dst
+        with open(os.path.join(tmp, "meta.json"), "w") as fh:
+            json.dump({"version": 2, "n_reads": n_reads, "rows": total}, fh)
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
     # ---- access ----
 
     def __len__(self) -> int:

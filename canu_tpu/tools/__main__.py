@@ -244,7 +244,10 @@ def cmd_kmer_count(args: argparse.Namespace) -> int:
         out["frequent_threshold"] = int(fk.threshold)
         out["frequent_mers"] = int(fk.n)
     if args.db_out:
-        kc.to_host().save(args.db_out)
+        # count_readset_device returns a host KmerCounts (no to_host) when
+        # the input exceeds the HBM instance budget — same guard stages.py uses.
+        kh = kc.to_host() if hasattr(kc, "to_host") else kc
+        kh.save(args.db_out)
         out["db"] = args.db_out
     print(json.dumps(out))
     return 0

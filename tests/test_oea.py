@@ -73,3 +73,45 @@ def test_oea_lowers_erates():
     st.update_erates(new_q)
     after = st.erate[rows_read1].mean()
     assert after < before * 0.5, (before, after)
+
+
+def test_oea_only_changed_differential():
+    """only_changed=True must (a) give IDENTICAL adjusted erates on every
+    overlap touching a corrected read, and (b) keep the stored erate on
+    overlaps between untouched reads (reference Redo_Olaps on affected
+    frags, correctOverlaps.C:156-178)."""
+    err_pos = [200, 900, 1500]
+    rs, g, spans = _make_pile(err_pos=err_pos)
+    pairs = np.array(
+        [(1, b) for b in range(2, 11)]
+        + [(a, b) for a in range(2, 10) for b in range(a + 1, 11)],
+        np.int64,
+    )
+    ov = verify_overlaps(rs, pairs, band=128, max_erate=0.2,
+                         min_overlap=500, chunk=32)
+    st = OverlapStore.build(ov, rs.n_reads)
+    corr = detect_read_errors(rs, st, band=128)
+    assert corr, "need at least one corrected read"
+    full = adjust_overlap_erates(rs, st, corr, band=128, chunk=32)
+    fast = adjust_overlap_erates(rs, st, corr, band=128, chunk=32,
+                                 only_changed=True)
+    changed = np.zeros(st.n_reads + 1, bool)
+    for rid in corr:
+        changed[rid] = True
+    touched = changed[st.a_id] | changed[st.b_id]
+    np.testing.assert_array_equal(fast[touched], full[touched])
+    np.testing.assert_array_equal(fast[~touched], st.erate_q[~touched])
+
+
+def test_oea_only_changed_no_corrections():
+    """Zero corrections -> only_changed returns the stored erates
+    without any device dispatch."""
+    rs, g, spans = _make_pile(err_pos=None)
+    pairs = np.array([(a, b) for a in range(1, 10)
+                      for b in range(a + 1, 11)], np.int64)
+    ov = verify_overlaps(rs, pairs, band=128, max_erate=0.2,
+                         min_overlap=500, chunk=32)
+    st = OverlapStore.build(ov, rs.n_reads)
+    out = adjust_overlap_erates(rs, st, {}, band=128, chunk=32,
+                                only_changed=True)
+    np.testing.assert_array_equal(out, st.erate_q)

@@ -80,6 +80,25 @@ def test_bat_memory_overlap_cap(small_overlaps):
     assert n_capped <= n_full + 1 and n_capped >= 1
 
 
+def test_bat_memory_cap_keeps_mirrors(small_overlaps):
+    """The per-read cap must preserve the symmetric-storage invariant:
+    every kept a->b row has its b->a mirror (reference ovStore 'overlaps
+    stored twice')."""
+    _g, rs, st = small_overlaps
+    from canu_tpu.graph.best_overlap import cap_store_rows
+
+    capped = cap_store_rows(st, max(200, 4 * rs.n_reads))
+    assert len(capped) < len(st)
+    fwd = set(zip(capped.a_id.tolist(), capped.b_id.tolist(),
+                  capped.a_bgn.tolist(), capped.a_end.tolist(),
+                  capped.b_bgn.tolist(), capped.b_end.tolist()))
+    rev = set(zip(capped.b_id.tolist(), capped.a_id.tolist(),
+                  capped.b_bgn.tolist(), capped.b_end.tolist(),
+                  capped.a_bgn.tolist(), capped.a_end.tolist()))
+    assert fwd == rev
+    assert len(capped) % 2 == 0
+
+
 def test_log_file_flags(small_overlaps, tmp_path):
     """logFileFlags: flag-gated per-phase graph log files (bogart
     AS_BAT_Logging.H role)."""
