@@ -85,6 +85,35 @@ class Config:
             self.registry[key.lower()] = p
             self.values[key.lower()] = defaults[tag]
 
+    def _reg_exec(self, stage: str, name: str) -> None:
+        """Per-stage execution resource group (reference setExecDefaults,
+        Defaults.pm:637-655): Memory/Threads/Concurrency/StageSpace +
+        gridOptions<stage>.  Advisory on TPU — XLA owns device resource
+        solving and there is one accelerator process per host — but
+        accepted, validated, and echoed into the spec log exactly like
+        the reference's.  Keys already registered with a REAL mechanism
+        (e.g. batMemory -> the graph-phase overlap cap) are left
+        untouched."""
+        for key, syn in (
+            (f"{stage}Memory",
+             f"advisory GB for {name} jobs (reference {stage}Memory; "
+             "resource solving is XLA's job here)"),
+            (f"{stage}Threads",
+             f"advisory threads for {name} jobs (reference "
+             f"{stage}Threads)"),
+            (f"{stage}Concurrency",
+             f"advisory concurrent {name} jobs (reference notes: "
+             "unused, one process)"),
+            (f"{stage}StageSpace",
+             f"advisory node-local staging GB for {name} jobs"),
+        ):
+            if key.lower() not in self.registry:
+                self._reg(key, 0, int, syn)
+        if f"gridoptions{stage}".lower() not in self.registry:
+            self._reg(f"gridOptions{stage}", "", str,
+                      f"extra launcher options for {name} jobs (applied "
+                      "to the jax.distributed launch command)")
+
     def _register_all(self) -> None:
         self._reg("genomeSize", None, parse_size, "expected genome size (required; accepts k/m/g)")
         self._reg("minReadLength", 1000, int, "discard input reads shorter than this")
@@ -186,6 +215,11 @@ class Config:
         self._reg("saveOverlaps", True, _bool,
                   "keep per-phase overlap stores after the phase completes (false deletes cor/obt stores)")
         self._reg("mhapBlockSize", 256, int, "reads per sketch block (OverlapMhap.pm blockSize role)")
+        self._reg("mhapMatchEngine", "auto", str,
+                  "candidate matching: device (block x block compare) | "
+                  "join (LSH hash-join, O(N*H) — identical pair set) | "
+                  "auto (join above 100k reads, where the block matrix "
+                  "is quadratic in genome size)")
         self._reg("objectStore", "", str,
                   "stash/fetch phase outputs: '' (off), TEST:<dir>, or gs://bucket (Grid_Cloud.pm)")
         self._reg("enableOEA", True, _bool, "overlap error adjustment: RED read-error voting + OEA erate recompute")
@@ -209,6 +243,183 @@ class Config:
         self._reg("shardedCompute", "auto", str, "run meryl/overlap-candidate stages on the device mesh: auto (on when >1 device), true, false")
         self._reg("onSuccess", "", str, "command to run when the pipeline finishes (gets the prefix as arg)")
         self._reg("onFailure", "", str, "command to run when the pipeline fails (gets the prefix as arg)")
+
+        # ---- round-5 surface growth (Defaults.pm:727-947 parity) ----
+        # phase-level erate aliases (reference corErrorRate/obtErrorRate/
+        # utgErrorRate): one-member meta keys over the OvlErrorRate family
+        self._reg("corErrorRate", 0.30, float,
+                  "alias of corOvlErrorRate (reference corErrorRate)")
+        self._reg("obtErrorRate", 0.12, float,
+                  "alias of obtOvlErrorRate (reference obtErrorRate)")
+        self._reg("utgErrorRate", 0.12, float,
+                  "alias of utgOvlErrorRate (reference utgErrorRate)")
+        self._reg("cnsErrorRate", 0.12, float,
+                  "advisory max error in consensus alignments (reference "
+                  "cnsErrorRate; our polish gate derives from "
+                  "utgOvlErrorRate)")
+        self._reg("utgRepeatConfusedBP", 2100, int,
+                  "alias of repeatConfusedAbsolute (bogart -ca; reference "
+                  "utgRepeatConfusedBP)")
+        self._reg("utgRepeatDeviation", 6.0, float,
+                  "advisory repeat-marking erate deviation (reference "
+                  "utgRepeatDeviation; repeat confusion here uses "
+                  "score margins, repeatConfusedAbsolute/Percent)")
+        self._reg("unitigger", "bogart", str,
+                  "unitig algorithm; only 'bogart' (the mutual-best graph "
+                  "walk) exists, matching the reference's only value")
+        self._reg("contigFilter", "2 0 1.0 0.5 5", str,
+                  "five values: minReads minLength singleReadSpan "
+                  "lowCovFraction lowCovDepth — meta key setting the five "
+                  "contigFilter* members (reference contigFilter)")
+        self._reg("batOptions", "", str,
+                  "extra graph-phase options as key=value pairs (reference "
+                  "batOptions free-form bogart flags)")
+        self._reg("corFilter", "quick", str,
+                  "template selection: quick (raw length) | expensive "
+                  "(evidence-covered corrected-length estimate, reference "
+                  "corFilter default 'expensive'; ours defaults quick — "
+                  "identical ranking on uniform-coverage input)")
+        self._reg("corPartitions", 0, int,
+                  "advisory correction partition count (reference "
+                  "corPartitions; device blocks are sized by the HBM vote "
+                  "budget, pipeline/configure.py)")
+        self._reg("corPartitionMin", 0, int,
+                  "advisory min reads per correction partition")
+        self._reg("cnsPartitions", 0, int,
+                  "advisory consensus partition count (reference "
+                  "cnsPartitions; consensus blocks by G segments)")
+        self._reg("cnsPartitionMin", 0, int,
+                  "advisory min reads per consensus partition")
+        self._reg("corMaxEvidenceCoverageGlobal", "1.0x", str,
+                  "advisory global per-evidence-read usage budget "
+                  "(reference filterCorrectionOverlaps; our evidence "
+                  "selection budgets per template, the Local axis)")
+        self._reg("corMaxEvidenceCoverageLocal", "2.0x", str,
+                  "per-read evidence budget as a multiple of estimated "
+                  "coverage ('2.0x') or absolute; caps "
+                  "corMaxEvidenceCoverage (generateCorrectionLayouts role)")
+        self._reg("redBatchSize", 0, int,
+                  "advisory reads per RED batch (reference redBatchSize; "
+                  "the vote engine sizes device chunks by HBM budget)")
+        self._reg("redBatchLength", 0, int,
+                  "advisory bases per RED batch (reference redBatchLength)")
+        self._reg("oeaBatchLength", 0, int,
+                  "advisory bases per OEA batch (reference oeaBatchLength; "
+                  "oeaBatchSize drives the real chunking)")
+        self._reg("merylMemory", 0, int,
+                  "GB for k-mer counting: scales the device counter's "
+                  "HBM instance budget before the host fallback engages "
+                  "(ops/kmer.py count_readset_device)")
+        self._reg("merylThreads", 0, int,
+                  "advisory threads for k-mer counting (reference "
+                  "merylThreads)")
+        self._reg("merylConcurrency", 0, int,
+                  "advisory concurrent meryl jobs (reference notes: "
+                  "unused, one process)")
+        self._reg_tagged("ovlFrequentMers", {"cor": "", "obt": "", "utg": ""},
+                         str,
+                         "FASTA file of k-mers to always exclude from "
+                         "seeding (reference OvlFrequentMers; unioned into "
+                         "the frequent-mer set)")
+        self._reg_tagged("mhapOrderedMerSize", {"cor": 12, "obt": 18,
+                                                "utg": 18}, int,
+                         "advisory second-stage filter k (reference "
+                         "MhapOrderedMerSize; our second stage is the "
+                         "banded verification itself)")
+        self._reg_tagged("reAlign", {"cor": True, "obt": True, "utg": True},
+                         _bool,
+                         "recompute true alignments for candidate overlaps "
+                         "(reference ${tag}ReAlign; always the verify "
+                         "kernel's job here — false is rejected)")
+        self._reg_tagged("overlapper", {"cor": "mhap", "obt": "mhap",
+                                        "utg": "mhap"}, str,
+                         "overlap algorithm: mhap (device sketch+verify) | "
+                         "minimap (external minimap2 + PAF import; "
+                         "reference ${tag}Overlapper)")
+        self._reg("minimap2Path", "minimap2", str,
+                  "external minimap2 binary for overlapper=minimap "
+                  "(reference utilizes minimap via OverlapMMap.pm)")
+        self._reg_tagged("mMapMerSize", {"cor": 15, "obt": 21, "utg": 21},
+                         int,
+                         "minimap k-mer size for overlapper=minimap "
+                         "(reference MMapMerSize)")
+        self._reg_tagged("mMapBlockSize", {"cor": 6000, "obt": 6000,
+                                           "utg": 6000}, int,
+                         "advisory minimap block size (reference "
+                         "MMapBlockSize)")
+        self._reg("minMemory", 0, int, "advisory lower memory bound (GB)")
+        self._reg("minThreads", 0, int, "advisory lower thread bound")
+        self._reg("stageDirectory", "", str,
+                  "node-local staging dir for heavily-read stores "
+                  "(reference stageDirectory; advisory — stores are "
+                  "memory-mapped here)")
+        self._reg("preExec", "", str,
+                  "shell command sourced before each stage (reference "
+                  "preExec role; recorded in the audit log)")
+        self._reg("java", "", str,
+                  "accepted for spec compatibility; no JVM exists in this "
+                  "pipeline (MHAP is a device kernel)")
+        self._reg("gnuplot", "", str,
+                  "accepted for spec compatibility; plots are native SVG "
+                  "(pipeline/html.py)")
+        self._reg("gnuplotImageFormat", "svg", str,
+                  "report figure format (reference gnuplotImageFormat; "
+                  "only svg is produced)")
+        self._reg("pathMap", "", str,
+                  "accepted for spec compatibility (reference pathMap: "
+                  "per-host binary paths; meaningless here)")
+        self._reg("shell", "/bin/sh", str,
+                  "shell for onSuccess/onFailure hooks (reference shell)")
+        self._reg("objectStoreClient", "", str,
+                  "client command for objectStore access (reference "
+                  "objectStoreClient; gs:// uses gsutil)")
+        self._reg("objectStoreNameSpace", "", str,
+                  "namespace prefix inside the object store (reference "
+                  "objectStoreNameSpace)")
+        self._reg("gridOptions", "", str,
+                  "extra options for every jax.distributed launch "
+                  "(reference gridOptions)")
+        self._reg("gridOptionsExecutive", "", str,
+                  "extra options for the executive launch (reference "
+                  "gridOptionsExecutive)")
+        self._reg("gridOptionsJobName", "", str,
+                  "job-name suffix for launches (reference "
+                  "gridOptionsJobName)")
+        # per-stage execution resource groups (setExecDefaults,
+        # Defaults.pm:822-855)
+        for stage, name in (
+            ("cormhap", "correction overlap"),
+            ("obtmhap", "trimming overlap"),
+            ("utgmhap", "unitigging overlap"),
+            ("corovl", "correction overlap verify"),
+            ("obtovl", "trimming overlap verify"),
+            ("utgovl", "unitigging overlap verify"),
+            ("ovb", "overlap store bucketize"),
+            ("ovs", "overlap store sort"),
+            ("red", "read error detection"),
+            ("oea", "overlap error adjustment"),
+            ("bat", "unitig construction"),
+            ("cns", "consensus"),
+            ("gfa", "graph alignment"),
+        ):
+            self._reg_exec(stage, name)
+        # external grid engines: explicit n/a stubs (the scale path is
+        # jax.distributed over TPU pods/SLURM, parallel/launch.py); any
+        # non-empty value errors in validate() with the porting pointer
+        for ge in ("gridEngine", "gridEngineSubmitCommand",
+                   "gridEngineNameOption", "gridEngineArrayOption",
+                   "gridEngineArrayName", "gridEngineArrayMaxJobs",
+                   "gridEngineOutputOption", "gridEnginePropagateCommand",
+                   "gridEngineThreadsOption", "gridEngineMemoryOption",
+                   "gridEngineMemoryUnits", "gridEngineNameToJobIDCommand",
+                   "gridEngineNameToJobIDCommandNoArray",
+                   "gridEngineStageOption", "gridEngineTaskID",
+                   "gridEngineArraySubmitID", "gridEngineJobID"):
+            self._reg(ge, "", str,
+                      "n/a stub: external grid engines (SGE/Slurm/PBS/LSF "
+                      "templates, reference Grid_*.pm) are replaced by "
+                      "jax.distributed launch (parallel/launch.py); "
+                      "setting this is an error")
 
     # ---- read-type profiles (canu.pl:499-517) ----
 
@@ -302,6 +513,48 @@ class Config:
                     self.values[f"{t}ovlerrorrate"] = v
                     self.fanned.add(f"{t}ovlerrorrate")
             return
+        # phase-erate aliases (reference corErrorRate/obtErrorRate/
+        # utgErrorRate) and utgRepeatConfusedBP -> repeatConfusedAbsolute
+        if lk in ("corerrorrate", "obterrorrate", "utgerrorrate"):
+            v = float(value)
+            self.values[lk] = v
+            self.explicit.add(lk)
+            member = lk[:3] + "ovlerrorrate"
+            if member not in self.explicit:
+                self.values[member] = v
+                self.fanned.add(member)
+            return
+        if lk == "utgrepeatconfusedbp":
+            v = int(value)
+            self.values[lk] = v
+            self.explicit.add(lk)
+            if "repeatconfusedabsolute" not in self.explicit:
+                self.values["repeatconfusedabsolute"] = v
+                self.fanned.add("repeatconfusedabsolute")
+            return
+        if lk == "contigfilter":
+            # five whitespace-separated values set the five members
+            # (reference contigFilter, Defaults.pm:905)
+            parts = str(value).split()
+            if len(parts) != 5:
+                raise ConfigError(
+                    f"contigFilter needs 5 values (minReads minLength "
+                    f"singleReadSpan lowCovFraction lowCovDepth), got "
+                    f"{value!r}"
+                )
+            self.values[lk] = " ".join(parts)
+            self.explicit.add(lk)
+            for member, raw, typ in (
+                ("contigfilterminreads", parts[0], int),
+                ("contigfilterminlength", parts[1], int),
+                ("contigfiltersinglereadspan", parts[2], float),
+                ("contigfilterlowcovfraction", parts[3], float),
+                ("contigfilterlowcovdepth", parts[4], int),
+            ):
+                if member not in self.explicit:
+                    self.values[member] = typ(raw)
+                    self.fanned.add(member)
+            return
         # tag fan-out: bare base name sets all three tags
         fanned = False
         for tag in _TAGS:
@@ -354,6 +607,52 @@ class Config:
                 )
         if self.get("readType") not in ("pacbio", "nanopore"):
             raise ConfigError(f"readType={self.get('readType')!r} unknown")
+        if str(self.get("unitigger")) != "bogart":
+            raise ConfigError(
+                f"unitigger={self.get('unitigger')!r}: only 'bogart' "
+                "exists (the mutual-best graph walk, graph/best_overlap.py)"
+            )
+        if str(self.get("corFilter")) not in ("quick", "expensive"):
+            raise ConfigError(
+                f"corFilter={self.get('corFilter')!r} must be quick or "
+                "expensive"
+            )
+        for tag in _TAGS:
+            if not _bool(self.get(tag + "ReAlign")):
+                raise ConfigError(
+                    f"{tag}ReAlign=false unsupported: verification IS "
+                    "re-alignment here (ops/align.verify_overlaps)"
+                )
+            ovp = str(self.get(tag + "Overlapper"))
+            if ovp not in ("mhap", "minimap"):
+                raise ConfigError(
+                    f"{tag}Overlapper={ovp!r} must be mhap or minimap"
+                )
+            for cov_key in ("corMaxEvidenceCoverageGlobal",
+                            "corMaxEvidenceCoverageLocal"):
+                self.coverage_multiple(cov_key, 30.0)  # format check
+        for lk, p in self.registry.items():
+            if lk.startswith("gridengine") and str(self.values[lk]):
+                raise ConfigError(
+                    f"{p.key} is an n/a stub: external grid engines are "
+                    "replaced by jax.distributed launch (useGrid=true + "
+                    "parallel/launch.py; SLURM/TPU-pod bootstrap)"
+                )
+
+    def coverage_multiple(self, key: str, est_coverage: float) -> float:
+        """Parse '1.0x' (multiple of estimated coverage) or an absolute
+        number (reference corMaxEvidenceCoverageGlobal/Local format,
+        CorrectReads.pm)."""
+        v = str(self.get(key)).strip().lower()
+        try:
+            if v.endswith("x"):
+                return float(v[:-1]) * est_coverage
+            return float(v)
+        except ValueError:
+            raise ConfigError(
+                f"{key}={v!r} must be a number or a 'N.Nx' coverage "
+                "multiple"
+            ) from None
 
     def print_options(self) -> str:
         lines = []

@@ -54,6 +54,28 @@ def select_templates(
     return ids.astype(np.int32)
 
 
+def select_templates_expensive(
+    rs: ReadSet, st: OverlapStore, genome_size: float, out_coverage: int
+) -> np.ndarray:
+    """corFilter=expensive: rank reads by EXPECTED CORRECTED length —
+    the evidence-covered portion of the read — instead of raw length
+    (reference filterCorrectionLayouts.C:49-120 sorts by corrected-length
+    estimate; a chimeric or junk tail contributes raw length but will
+    not survive correction).  Budget = out_coverage * genome_size of
+    expected corrected bases.  1-based ids."""
+    from ..utils.intervals import covered_intervals_all
+
+    own, b, e = covered_intervals_all(st.a_id, st.a_bgn, st.a_end, 1)
+    cov_len = np.zeros(rs.n_reads + 1, np.int64)
+    np.add.at(cov_len, own, e - b)
+    score = np.minimum(rs.length.astype(np.int64), cov_len[1:])
+    order = np.argsort(-score, kind="stable")
+    csum = np.cumsum(score[order])
+    n_keep = int(np.searchsorted(csum, out_coverage * genome_size)) + 1
+    ids = np.sort(order[:n_keep] + 1).astype(np.int32)
+    return ids[score[ids - 1] > 0]
+
+
 def select_evidence_rows(
     st: OverlapStore,
     template_ids: np.ndarray,
@@ -398,6 +420,7 @@ def correct_reads_blocks(
     done_blocks=frozenset(),
     max_evidence_erate: float = 0.0,
     mode: str = "falcon",
+    template_filter: str = "quick",
 ) -> Iterator[tuple[int, list[tuple[str, str]]]]:
     """Yield (block_index, [(name, corrected_seq), ...]) per template
     block.  Block indices are deterministic for a given store+config, so
@@ -408,8 +431,15 @@ def correct_reads_blocks(
 
     mode: 'falcon' (device vote piles + per-column plurality, the
     falconsense role) or 'dag' (tag-chain consensus, the corConsensus
-    selection of /root/reference/src/pipelines/canu/Defaults.pm)."""
-    template_ids = select_templates(rs, genome_size, out_coverage)
+    selection of /root/reference/src/pipelines/canu/Defaults.pm).
+
+    template_filter: 'quick' (raw length) or 'expensive'
+    (evidence-covered length, reference corFilter default)."""
+    if template_filter == "expensive":
+        template_ids = select_templates_expensive(
+            rs, st, genome_size, out_coverage)
+    else:
+        template_ids = select_templates(rs, genome_size, out_coverage)
     rows = select_evidence_rows(
         st, template_ids, rs.length, max_evidence_coverage,
         min_evidence_length, max_evidence_erate,

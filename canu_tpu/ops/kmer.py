@@ -716,3 +716,53 @@ def frequent_kmers(kc, threshold: Optional[int] = None, distinct_fraction: float
         threshold=int(threshold),
         total_kmers=kc.n_total,
     )
+
+
+def union_frequent(a: FrequentKmers, b: FrequentKmers) -> FrequentKmers:
+    """Union of two frequent-mer tables (same k): the reference's
+    OvlFrequentMers mechanism — user-supplied mers excluded from seeding
+    in ADDITION to the counted frequent set
+    (/root/reference/src/pipelines/canu/Defaults.pm OvlFrequentMers).
+    Duplicate keys keep the larger fraction."""
+    assert a.k == b.k, (a.k, b.k)
+    kmers = np.concatenate([a.kmers, b.kmers])
+    frac = np.concatenate([a.fraction, b.fraction])
+    exact = None
+    if a.kmers_exact is not None or b.kmers_exact is not None:
+        ea = a.kmers_exact if a.kmers_exact is not None else np.zeros(
+            len(a.kmers), np.uint64)
+        eb = b.kmers_exact if b.kmers_exact is not None else np.zeros(
+            len(b.kmers), np.uint64)
+        exact = np.concatenate([ea, eb])
+    order = np.lexsort((-frac, kmers))
+    kmers, frac = kmers[order], frac[order]
+    if exact is not None:
+        exact = exact[order]
+    keep = np.concatenate([[True], kmers[1:] != kmers[:-1]])
+    return FrequentKmers(
+        k=a.k, kmers=kmers[keep], fraction=frac[keep],
+        threshold=min(a.threshold, b.threshold),
+        total_kmers=max(a.total_kmers, b.total_kmers),
+        kmers_exact=exact[keep] if exact is not None else None,
+    )
+
+
+def frequent_from_fasta(path: str, k: int) -> FrequentKmers:
+    """Frequent-mer table from a FASTA of sequences whose k-mers must
+    never seed overlaps (reference OvlFrequentMers file format).  Every
+    k-mer window of every record is excluded with fraction 1.0."""
+    from ..io.fastx import read_fastx
+    from ..stores.readset import ReadSet
+    from ..utils.bitpack import seq_to_codes
+
+    codes = [seq_to_codes(r.seq) for r in read_fastx(path)
+             if len(r.seq) >= k]
+    if not codes:
+        return FrequentKmers(k=k, kmers=np.zeros(0, np.uint32),
+                             fraction=np.zeros(0, np.float32),
+                             threshold=0, total_kmers=0)
+    rs = ReadSet.from_codes_list(codes, [f"m{i}" for i in range(len(codes))])
+    kc = count_readset_host(rs, k)
+    fk = frequent_kmers(kc, threshold=0)
+    fk.fraction[:] = 1.0
+    return fk

@@ -210,6 +210,85 @@ def find_candidates(
     return out[np.lexsort((out[:, 1], out[:, 0]))]
 
 
+def find_candidates_join(
+    sketches: np.ndarray,
+    min_matches: int = 3,
+    slot_chunk: int = 64,
+    bucket_cap: int = 2048,
+) -> np.ndarray:
+    """All-vs-all candidates via an LSH hash-JOIN — O(N·H) sort instead
+    of the O(N²) block×block compare.  Pair-set IDENTICAL to
+    find_candidates: a pair matches in slot h iff sketches[i,h] ==
+    sketches[j,h] != UINT32_MAX, and pairs with >= min_matches agreeing
+    slots are kept.  This is what the reference's MHAP actually does
+    (min-hash values bucket reads; only bucket-mates are compared) and
+    the only path that scales to the 140 Mb-genome read count, where
+    the block matrix is ~10^6 block pairs.
+
+    Buckets larger than bucket_cap reads (one hash value shared by that
+    many reads — a repeat family the frequent-mer filter missed) are
+    dropped with a warning; MHAP's tf-idf down-weighting plays the same
+    role (/root/reference/src/pipelines/canu/OverlapMhap.pm:382-396).
+    """
+    import logging
+
+    N, H = sketches.shape
+    if N < 2:
+        return np.zeros((0, 3), dtype=np.int64)
+    counts: dict = {}
+    dropped = 0
+    # process slot groups to bound peak memory at N*slot_chunk keys
+    pair_chunks: list[np.ndarray] = []
+    for h0 in range(0, H, slot_chunk):
+        h1 = min(h0 + slot_chunk, H)
+        sub = sketches[:, h0:h1]
+        hc = h1 - h0
+        vals = sub.T.reshape(-1).astype(np.int64)  # slot-major [hc*N]
+        slots = np.repeat(np.arange(h0, h1, dtype=np.int64), N)
+        reads = np.tile(np.arange(N, dtype=np.int64), hc)
+        keys = (slots << np.int64(32)) | vals
+        keep = vals != int(UINT32_MAX)
+        keys, reads = keys[keep], reads[keep]
+        order = np.argsort(keys, kind="stable")
+        keys, reads = keys[order], reads[order]
+        # bucket boundaries
+        new = np.concatenate([[True], keys[1:] != keys[:-1]])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(keys)]])
+        sizes = ends - starts
+        big = sizes > bucket_cap
+        dropped += int(big.sum())
+        keepb = ~big & (sizes > 1)
+        # vectorized pair expansion grouped by bucket SIZE: all buckets
+        # of size s expand through one [B_s, s] gather + triu — no
+        # per-bucket python loop (there are millions of tiny buckets at
+        # the 140 Mb scale)
+        for s in np.unique(sizes[keepb]):
+            sel = starts[keepb & (sizes == s)]
+            members = reads[sel[:, None] + np.arange(s)[None, :]]
+            members = np.sort(members, axis=1)
+            li, lj = np.triu_indices(int(s), 1)
+            pair_chunks.append(np.stack(
+                [members[:, li].reshape(-1), members[:, lj].reshape(-1)],
+                axis=1))
+    if dropped:
+        logging.getLogger("canu_tpu.minhash").warning(
+            "hash-join: dropped %d buckets larger than %d reads "
+            "(unfiltered repeat hash values)", dropped, bucket_cap)
+    if not pair_chunks:
+        return np.zeros((0, 3), dtype=np.int64)
+    pairs = np.concatenate(pair_chunks)
+    key = pairs[:, 0] * np.int64(N + 1) + pairs[:, 1]
+    uniq, cnt = np.unique(key, return_counts=True)
+    keep = cnt >= min_matches
+    uniq, cnt = uniq[keep], cnt[keep]
+    out = np.empty((len(uniq), 3), np.int64)
+    out[:, 0] = uniq // (N + 1) + 1  # 1-based ids, a < b by construction
+    out[:, 1] = uniq % (N + 1) + 1
+    out[:, 2] = cnt
+    return out[np.lexsort((out[:, 1], out[:, 0]))]
+
+
 # ---- stage C: shared-kmer placement ----------------------------------------
 
 

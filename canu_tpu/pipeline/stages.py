@@ -124,7 +124,13 @@ def meryl(ctx: AssemblyCtx, tag: str, rs: ReadSet):
 
             kc = sharded_count_readset(rs, k=k)
         else:
-            kc = K.count_readset_device(rs, k=k, block_size=256)
+            # merylMemory scales the HBM instance budget before the
+            # host counter takes over (~16 B/instance across the sort)
+            mm = int(ctx.cfg.get("merylMemory"))
+            kc = K.count_readset_device(
+                rs, k=k, block_size=256,
+                max_instances=mm * (1 << 26) if mm > 0 else None,
+            )
         hist = kc.histogram(1000)
         n_distinct = int(hist[1:].sum())
         mode = str(ctx.cfg.get(tag + "MerThreshold"))
@@ -166,6 +172,10 @@ def meryl(ctx: AssemblyCtx, tag: str, rs: ReadSet):
             how = "estimate(valley/peak)"
         else:
             fk = by_distinct()
+        custom = str(ctx.cfg.get(tag + "OvlFrequentMers")).strip()
+        if custom:
+            # user-supplied always-ignore mers (reference OvlFrequentMers)
+            fk = K.union_frequent(fk, K.frequent_from_fasta(custom, k))
         from ..parallel.launch import is_writer
 
         if is_writer():  # every process computed fk (collectives); one writes
@@ -203,6 +213,73 @@ def meryl(ctx: AssemblyCtx, tag: str, rs: ReadSet):
             threshold=int(z["threshold"][0]),
             total_kmers=int(z["total"][0]),
         )
+
+
+def _cor_evidence_budget(ctx: AssemblyCtx, rs: ReadSet) -> int:
+    """Effective per-template evidence coverage: corMaxEvidenceCoverage
+    capped by the Global/Local '<N.N>x' coverage-multiple knobs
+    (reference filterCorrectionOverlaps corMaxEvidenceCoverageGlobal /
+    generateCorrectionLayouts ...Local, CorrectReads.pm:83-117)."""
+    base = int(ctx.cfg.get("corMaxEvidenceCoverage"))
+    est = rs.total_bases / max(1.0, float(ctx.cfg.get("genomeSize")))
+    lo = ctx.cfg.coverage_multiple("corMaxEvidenceCoverageLocal", est)
+    return max(1, min(base, int(round(lo))))
+
+
+def _minimap_candidates(ctx: AssemblyCtx, tag: str, rs: ReadSet,
+                        d: str) -> np.ndarray:
+    """overlapper=minimap: run the external minimap2 binary all-vs-all
+    and use its PAF hits as CANDIDATE pairs for the device verification
+    kernel (reference OverlapMMap.pm runs minimap2 + mmapConvert; the
+    ${tag}ReAlign step is our verify pass, which recomputes exact
+    hangs/erate — reference overlapPair role).  Requires minimap2 on
+    PATH or minimap2Path= pointing at it."""
+    import shutil
+    import subprocess
+
+    from ..io.fastx import write_fasta
+
+    mm2 = str(ctx.cfg.get("minimap2Path"))
+    if shutil.which(mm2) is None:
+        raise PipelineError(
+            f"{tag}Overlapper=minimap but {mm2!r} is not executable; "
+            "install minimap2 or set minimap2Path="
+        )
+    fa = os.path.join(d, f"{ctx.prefix}.mmap-reads.fasta")
+    if not os.path.exists(fa):
+        write_fasta(fa + ".WORKING", ((f"{i}", rs.get_seq(i))
+                                      for i in range(1, rs.n_reads + 1)))
+        os.replace(fa + ".WORKING", fa)
+    preset = "ava-ont" if str(ctx.cfg.get("readType")) == "nanopore" \
+        else "ava-pb"
+    mmap_k = int(ctx.cfg.get(tag + "MMapMerSize"))
+    paf = os.path.join(d, f"{ctx.prefix}.mmap.paf")
+    with open(paf + ".WORKING", "w") as oh:
+        r = subprocess.run(
+            [mm2, "-x", preset, "-k", str(mmap_k), fa, fa],
+            stdout=oh, stderr=subprocess.PIPE, text=True,
+        )
+    if r.returncode != 0:
+        raise PipelineError(
+            f"minimap2 failed rc={r.returncode}: {r.stderr[-500:]}")
+    os.replace(paf + ".WORKING", paf)
+    pairs = set()
+    with open(paf) as fh:
+        for line in fh:
+            f = line.split("\t", 6)
+            if len(f) < 6:
+                continue
+            try:
+                a, b = int(f[0]), int(f[5])
+            except ValueError:
+                continue
+            if a != b and 1 <= a <= rs.n_reads and 1 <= b <= rs.n_reads:
+                pairs.add((min(a, b), max(a, b)))
+    ctx.log.info(f"{tag}-overlap: minimap2 produced {len(pairs)} "
+                 f"candidate pairs ({preset}, k={mmap_k})")
+    if not pairs:
+        return np.zeros((0, 2), np.int64)
+    return np.array(sorted(pairs), np.int64)
 
 
 def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
@@ -248,6 +325,16 @@ def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
                 f"{tag}-overlap: resuming from checkpointed candidates "
                 f"({len(pairs)} pairs, {pairs_ckpt})"
             )
+        elif str(cfg.get(tag + "Overlapper")) == "minimap":
+            # external overlapper path (OverlapMMap.pm role): minimap2
+            # proposes pairs, the device kernel verifies them
+            pairs = _minimap_candidates(ctx, tag, rs, d)
+            from ..parallel.launch import is_writer
+
+            if is_writer():
+                np.save(pairs_ckpt + ".WORKING.npy", pairs)
+                os.replace(pairs_ckpt + ".WORKING.npy", pairs_ckpt)
+            _lap("match")
         else:
             sk = MH.build_sketches(rs, k=k, n_hashes=n_hashes, frequent=fk,
                                    block_size=int(cfg.get("mhapBlockSize")))
@@ -259,7 +346,15 @@ def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
 
                 pairs = sharded_find_candidates(sk, min_matches=min_matches)
             else:
-                pairs = MH.find_candidates(sk, min_matches=min_matches, block_size=1024)
+                me = str(cfg.get("mhapMatchEngine")).lower()
+                if me == "join" or (me == "auto" and rs.n_reads > 100_000):
+                    # LSH hash-join: the block matrix is O(N^2) in block
+                    # pairs and unusable at the 140 Mb read count
+                    pairs = MH.find_candidates_join(
+                        np.asarray(sk), min_matches=min_matches)
+                else:
+                    pairs = MH.find_candidates(
+                        sk, min_matches=min_matches, block_size=1024)
             del sk  # sketches are HBM-heavy and dead past this point
             from ..parallel.launch import is_writer
 
@@ -484,7 +579,7 @@ def correction_phase(ctx: AssemblyCtx, raw_inputs: list[str]) -> None:
             rs, st,
             genome_size=float(ctx.cfg.get("genomeSize")),
             out_coverage=int(ctx.cfg.get("corOutCoverage")),
-            max_evidence_coverage=int(ctx.cfg.get("corMaxEvidenceCoverage")),
+            max_evidence_coverage=_cor_evidence_budget(ctx, rs),
             min_evidence_length=int(ctx.cfg.get("corMinEvidenceLength")),
             band=int(ctx.cfg.get("corBandWidth")),
             min_cov=int(ctx.cfg.get("corMinCoverage")),
@@ -493,6 +588,7 @@ def correction_phase(ctx: AssemblyCtx, raw_inputs: list[str]) -> None:
             max_evidence_erate=float(ctx.cfg.get("corMaxEvidenceErate")),
             mode="dag" if str(ctx.cfg.get("corConsensus")).lower() == "dag"
             else "falcon",
+            template_filter=str(ctx.cfg.get("corFilter")),
         ):
             p = os.path.join(blocks_dir, f"block_{bi:05d}.fasta.gz")
             write_fasta(p + ".WORKING.gz", items)

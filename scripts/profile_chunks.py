@@ -31,7 +31,7 @@ from canu_tpu.ops.votepile import (
 from canu_tpu.stores.overlaps import OverlapStore
 from canu_tpu.stores.readset import ReadSet
 
-sd = "_scale/run1m/correction"
+sd = sys.argv[2] if len(sys.argv) > 2 else "_scale/run1m_v4/correction"
 rs = ReadSet.load(os.path.join(sd, "asm.gkpStore"))
 st = OverlapStore.load(os.path.join(sd, "asm.ovlStore"))
 template_ids = falcon.select_templates(rs, 1_000_000, 40)

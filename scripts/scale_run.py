@@ -42,9 +42,13 @@ def main() -> None:
             for p in rep_env.split(",") if p.strip()
         ]
     g = random_genome(gsize, seed=7, repeat_spec=repeat_spec)
+    # CANU_TPU_SIM_ERR / CANU_TPU_READTYPE: BASELINE config 1 is a
+    # lambda-phage-scale ONT profile (higher error, nanopore defaults)
+    err = float(os.environ.get("CANU_TPU_SIM_ERR", "0.10"))
+    read_type = os.environ.get("CANU_TPU_READTYPE", "pacbio")
     rs, _ = simulate_reads(
         g, coverage=cov, mean_len=3500, min_len=1500, max_len=7800,
-        error_rate=0.10, seed=8,
+        error_rate=err, seed=8,
     )
     raw_fa = os.path.join(wd, "raw.fasta")
     fastx.write_fasta(
@@ -72,7 +76,9 @@ def main() -> None:
     for attempt in range(1, max_attempts + 1):
         cmd = [
             sys.executable, "-m", "canu_tpu", "-p", "asm", "-d", wd,
-            f"genomeSize={gsize}", "-pacbio-raw", raw_fa,
+            f"genomeSize={gsize}", f"readType={read_type}",
+            "-pacbio-raw" if read_type == "pacbio" else "-nanopore-raw",
+            raw_fa,
         ]
         print(f"# attempt {attempt}/{max_attempts}", flush=True)
         try:

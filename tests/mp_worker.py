@@ -84,3 +84,43 @@ if pid == 0:
     print(f"[0] process-sharded verify: {len(ra)} overlaps EQUAL", flush=True)
 
 print("MP_TEST_OK2", flush=True)
+
+# a_id-range exchange store build: per-process sorted shards merged by
+# the writer must hold EXACTLY the rows of the single-process
+# OverlapStore.build, and no process may hold the full table
+from canu_tpu.parallel.shard_overlap import (
+    process_sharded_store_rows,
+    table_to_sym_rows,
+)
+from canu_tpu.stores.overlaps import OverlapStore
+
+mine = process_sharded_store_rows(rs, np.asarray(cand_sh), k=16, chunk=64)
+total_rows = 2 * len(tab_ref)
+assert len(mine) < total_rows, (len(mine), total_rows)  # memory bound held
+np.save(f"shard{pid:04d}.WORKING.npy", mine)
+os.replace(f"shard{pid:04d}.WORKING.npy", f"shard{pid:04d}.npy")
+from canu_tpu.parallel.launch import barrier
+
+barrier("mp-shards")
+if pid == 0:
+    shards = sorted(
+        f for f in os.listdir(".") if f.startswith("shard") and f.endswith(".npy")
+    )
+    OverlapStore.save_from_row_shards(shards, rs.n_reads, "mp.ovlStore")
+    st_sh = OverlapStore.load("mp.ovlStore")
+    st_ref = OverlapStore.build(tab_ref, rs.n_reads)
+    assert len(st_sh) == len(st_ref), (len(st_sh), len(st_ref))
+    # same multiset of rows; index identical (a_id-major order on both)
+    def row_set(st):
+        return {
+            tuple(int(getattr(st, c)[i]) for c in
+                  ("a_id", "b_id", "flipped", "a_bgn", "a_end",
+                   "b_bgn", "b_end", "erate_q"))
+            for i in range(len(st))
+        }
+    assert row_set(st_sh) == row_set(st_ref)
+    assert np.array_equal(st_sh.index, st_ref.index)
+    # shards are globally sorted by a_id when concatenated in order
+    assert (np.diff(st_sh.a_id) >= 0).all()
+    print(f"[0] range-exchange store: {len(st_sh)} rows EQUAL", flush=True)
+print("MP_TEST_OK3", flush=True)

@@ -99,3 +99,45 @@ def overlap_pairs(
         er = float(f[8])
         rows.append((a, b, int(flipped), ab, ae, int(round(er * 10000))))
     return np.array(rows, dtype=np.int64).reshape(-1, 6)
+
+
+def overlap_store_rows(
+    workdir: str,
+    gkpstore: str,
+    n_reads: int,
+    k: int = 16,
+    max_erate: float = 0.24,
+    min_length: int = 500,
+    threads: int = 2,
+) -> np.ndarray:
+    """Full overlap-STORE content: overlapInCore -> ovStoreBuild ->
+    ovStoreDump -coords.  Returns rows (a_iid, b_iid, flipped, a_bgn,
+    a_end, b_bgn, b_end, erate_q) — every symmetrized, sorted row of the
+    reference store (BASELINE 'store contents equal modulo ordering';
+    /root/reference/src/stores/ovOverlap.H:227-292 accessors,
+    ovStoreDump.C -coords mode)."""
+    ovb = os.path.join(workdir, "refstore.ovb")
+    _run(["overlapInCore", "-t", str(threads), "-k", str(k),
+          "--maxerate", str(max_erate), "--minlength", str(min_length),
+          "-h", f"1-{n_reads}", "-r", f"1-{n_reads}",
+          "-o", ovb, gkpstore], workdir)
+    store = os.path.join(workdir, "ref.ovlStore")
+    _run(["ovStoreBuild", "-O", store, "-G", gkpstore,
+          "-M", "2", ovb], workdir)
+    r = _run(["ovStoreDump", "-G", gkpstore, "-O", store, "-coords",
+              "-d", f"1-{n_reads}"], workdir)
+    rows = []
+    for line in r.stdout.splitlines():
+        f = line.split()
+        if len(f) < 9 or not f[0].isdigit():
+            continue
+        a, b = int(f[0]), int(f[1])
+        flipped = f[2] == "I"
+        ab, ae = int(f[4]), int(f[5])
+        bb, be = int(f[6]), int(f[7])
+        if flipped and bb > be:
+            bb, be = be, bb  # AsCoords prints oriented coords when flipped
+        er = float(f[8])  # fraction (%7.6f); our erate_q = fraction*10000
+        rows.append((a, b, int(flipped), ab, ae, bb, be,
+                     int(round(er * 10000))))
+    return np.array(rows, dtype=np.int64).reshape(-1, 8)

@@ -87,3 +87,27 @@ def test_evaluate_circular_wrap():
     assert ev.n_placed == 1
     assert ev.n_misjoins == 0
     assert ev.identity > 0.995
+
+
+@pytest.mark.slow
+def test_ruler_megabase_known_exact():
+    """The identity ruler on KNOWN-EXACT mega-base placements (VERDICT
+    r4 #6 root-cause): exact forward/revcomp must score ~1.0, and
+    structural collapses must be charged exactly once — a 700-base
+    repeat collapse is NOT free (pre-r5 it split into two placements and
+    scored identity 1.0 with 0 misjoins: invisible)."""
+    from canu_tpu.sim.bogus import evaluate_assembly
+    from canu_tpu.sim.simulate import random_genome
+    from canu_tpu.utils.bitpack import revcomp_codes
+
+    L = 1_500_000
+    g = random_genome(L, seed=99)
+    ev = evaluate_assembly(g, [g.copy()], k=21, circular=False)
+    assert ev.identity >= 0.9999 and ev.n_misjoins == 0, ev.summary()
+    ev = evaluate_assembly(g, [revcomp_codes(g)], k=21, circular=False)
+    assert ev.identity >= 0.9999 and ev.n_misjoins == 0, ev.summary()
+    c = np.concatenate([g[: L // 2], g[L // 2 + 700 :]])
+    ev = evaluate_assembly(g, [c], k=21, circular=False)
+    exp = 1.0 - 700.0 / L
+    assert exp - 3000.0 / L <= ev.identity <= exp + 300.0 / L, ev.summary()
+    assert ev.n_misjoins == 0, ev.summary()

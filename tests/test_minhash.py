@@ -83,3 +83,28 @@ def test_candidate_recall_on_simulated_reads():
     tset500 = {(int(a), int(b)) for a, b, _ in true_overlaps(truth, min_overlap=300)}
     fp = pset - tset500
     assert len(fp) <= 0.1 * max(1, len(pset)), f"{len(fp)} false positives of {len(pset)}"
+
+
+def test_join_candidates_equal_block():
+    """find_candidates_join (LSH hash-join, the 140 Mb-scale path) must
+    return the EXACT same (a, b, slot_matches) rows as the block x block
+    device compare."""
+    import numpy as np
+
+    from canu_tpu.ops import kmer as K
+    from canu_tpu.ops import minhash as MH
+    from canu_tpu.sim.simulate import random_genome, simulate_reads
+
+    g = random_genome(40_000, seed=21)
+    rs, _ = simulate_reads(g, coverage=6, mean_len=2500, min_len=1500,
+                           max_len=4000, error_rate=0.06, seed=22,
+                           circular=False)
+    kc = K.count_readset_device(rs, k=16, block_size=256)
+    fk = K.frequent_kmers(kc, distinct_fraction=0.9995)
+    sk = np.asarray(MH.build_sketches(rs, k=16, n_hashes=128, frequent=fk,
+                                      block_size=128))
+    for mm in (2, 3):
+        a = MH.find_candidates(sk, min_matches=mm, block_size=128)
+        b = MH.find_candidates_join(sk, min_matches=mm)
+        assert np.array_equal(a, b), (mm, len(a), len(b))
+    assert len(MH.find_candidates_join(sk[:1], min_matches=2)) == 0

@@ -49,6 +49,8 @@ def test_two_process_sharded_stages(tmp_path):
     assert procs[1].returncode == 0, outs[1][-3000:]
     assert "MP_TEST_OK" in outs[0], outs[0][-3000:]
     assert "MP_TEST_OK2" in outs[0], outs[0][-3000:]
+    assert "MP_TEST_OK3" in outs[0], outs[0][-3000:]
+    assert "range-exchange store" in outs[0], outs[0][-1500:]
     assert "8 global devices" in outs[0], outs[0][-1500:]
 
 

@@ -341,3 +341,78 @@ def test_corrected_reads_vs_reference_falcon_sense(refdata, tmp_path):
         idents.append(1.0 - d / max(1, L))
     mean_ident = float(np.mean(idents))
     assert mean_ident >= 0.995, (mean_ident, sorted(idents)[:5])
+
+
+def test_overlap_store_content_vs_reference(refdata):
+    """BASELINE 'overlap store contents equal modulo ordering': build
+    BOTH stores from the same reads, then compare CONTENT per shared
+    pair — flipped flag, endpoint coordinates (hangs), and erate — not
+    just the pair set (reference fields /root/reference/src/stores/
+    ovOverlap.H:227-292, dumped via ovStoreDump -coords).
+
+    Quantified bounds (measured on this sim regime, set just below):
+      pair Jaccard >= 0.80; flipped flag equal on >= 99% of shared
+      pairs; median |endpoint delta| <= 10 bases and 90th pct <= 60;
+      erate Pearson r >= 0.70 with median |delta| <= 0.01."""
+    wd, fa, store, rs = refdata
+    ref = RH.overlap_store_rows(wd, store, rs.n_reads, k=16,
+                                max_erate=0.06, min_length=500)
+    assert len(ref) > 200
+    # reference store rows are symmetric; key on (a<b) direction only
+    half = ref[ref[:, 0] < ref[:, 1]]
+    ref_by_pair = {
+        (int(r[0]), int(r[1])): r for r in half
+    }
+
+    from canu_tpu.ops import align as AL
+    from canu_tpu.ops import kmer as K
+    from canu_tpu.ops import minhash as MH
+    from canu_tpu.stores.overlaps import OverlapStore
+
+    kc = K.count_readset_device(rs, k=16, block_size=256)
+    fk = K.frequent_kmers(kc, distinct_fraction=0.9995)
+    sk = MH.build_sketches(rs, k=16, n_hashes=512, frequent=fk,
+                           block_size=256)
+    pairs = MH.find_candidates(sk, min_matches=2, block_size=1024)
+    ov = AL.verify_overlaps(
+        rs, pairs, k=16, band=256, max_erate=0.06, min_overlap=500,
+        chunk=512, min_shared=3,
+    )
+    st = OverlapStore.build(ov, rs.n_reads)
+    ours_half = st.a_id < st.b_id
+    ours_by_pair = {}
+    for i in np.flatnonzero(ours_half):
+        ours_by_pair[(int(st.a_id[i]), int(st.b_id[i]))] = i
+
+    shared = set(ref_by_pair) & set(ours_by_pair)
+    union = set(ref_by_pair) | set(ours_by_pair)
+    jac = len(shared) / max(1, len(union))
+    assert jac >= 0.80, (jac, len(ref_by_pair), len(ours_by_pair))
+
+    flip_eq = 0
+    end_deltas = []
+    er_ref = []
+    er_ours = []
+    for p in shared:
+        r = ref_by_pair[p]
+        i = int(ours_by_pair[p])
+        flip_eq += int(bool(r[2]) == bool(st.flipped[i]))
+        end_deltas += [
+            abs(int(r[3]) - int(st.a_bgn[i])),
+            abs(int(r[4]) - int(st.a_end[i])),
+            abs(int(r[5]) - int(st.b_bgn[i])),
+            abs(int(r[6]) - int(st.b_end[i])),
+        ]
+        er_ref.append(int(r[7]))
+        er_ours.append(int(st.erate_q[i]))
+    n = len(shared)
+    assert flip_eq >= 0.99 * n, (flip_eq, n)
+    end_deltas = np.array(end_deltas)
+    assert np.median(end_deltas) <= 10, np.median(end_deltas)
+    assert np.percentile(end_deltas, 90) <= 60, np.percentile(end_deltas, 90)
+    er_ref = np.array(er_ref, float)
+    er_ours = np.array(er_ours, float)
+    assert np.median(np.abs(er_ref - er_ours)) <= 100  # |Δerate| <= 0.01
+    if er_ref.std() > 0 and er_ours.std() > 0:
+        r_p = float(np.corrcoef(er_ref, er_ours)[0, 1])
+        assert r_p >= 0.70, r_p
