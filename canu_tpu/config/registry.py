@@ -218,8 +218,9 @@ class Config:
         self._reg("mhapMatchEngine", "auto", str,
                   "candidate matching: device (block x block compare) | "
                   "join (LSH hash-join, O(N*H) — identical pair set) | "
-                  "auto (join above 100k reads, where the block matrix "
-                  "is quadratic in genome size)")
+                  "auto (join above 5k reads; the block matrix is "
+                  "quadratic in read count and cost 122-163 s/phase at "
+                  "33k reads vs seconds for the join)")
         self._reg("objectStore", "", str,
                   "stash/fetch phase outputs: '' (off), TEST:<dir>, or gs://bucket (Grid_Cloud.pm)")
         self._reg("enableOEA", True, _bool, "overlap error adjustment: RED read-error voting + OEA erate recompute")

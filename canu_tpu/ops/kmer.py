@@ -382,16 +382,19 @@ def count_readset_host(readset: ReadSet, k: int) -> "KmerCounts":
     if m <= 0:
         return KmerCounts(k, np.zeros(0, np.uint64 if k > 16 else np.uint32),
                           np.zeros(0, np.int64))
-    fwd = np.zeros(m, np.uint64)
-    rc = np.zeros(m, np.uint64)
+    # k <= 16 fits 2k bits in uint32: half the memory and a ~2x faster
+    # sort — at the 140 Mb-genome scale (4.2e9 instances) the uint64
+    # path peaks ~100 GB and the uint32 path ~50 GB on this host
+    dt = np.uint32 if k <= 16 else np.uint64
+    fwd = np.zeros(m, dt)
+    rc = np.zeros(m, dt)
     for j in range(k):
-        bj = allb[j : j + m].astype(np.uint64)
-        fwd = (fwd << np.uint64(2)) | bj
-        rc |= (np.uint64(3) - bj) << np.uint64(2 * j)
+        bj = allb[j : j + m].astype(dt)
+        fwd = (fwd << dt(2)) | bj
+        rc |= (dt(3) - bj) << dt(2 * j)
     canon = np.minimum(fwd, rc)[vm[:m]]
+    del fwd, rc
     u, c = np.unique(canon, return_counts=True)
-    if k <= 16:
-        u = u.astype(np.uint32)
     return KmerCounts(k, u, c.astype(np.int64))
 
 

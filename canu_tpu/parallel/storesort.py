@@ -77,14 +77,15 @@ def sharded_sort_overlaps(mesh: Mesh, n_reads: int, cap: int):
         pos_in_run = idx - run_start
         slot = jnp.zeros(B, jnp.int32).at[order].set(pos_in_run)
         overflow = jnp.sum((slot >= cap) & valid)
-        # scatter rows into [n_dev, cap, C] buckets
+        # scatter rows into [n_dev, cap, C] buckets.  Indices stay
+        # UNCLAMPED: invalid rows carry dest == n_dev and overflow rows
+        # slot >= cap, both out of bounds, so mode='drop' discards them
+        # — clamping them in-bounds would overwrite REAL rows in the
+        # last bucket with BIG (r5 bug: the 2-process store build lost
+        # rows whenever a process's row count didn't divide its device
+        # count evenly)
         buckets = jnp.full((n_dev, cap, C), BIG, jnp.int32)
-        okslot = jnp.minimum(slot, cap - 1)
-        okdest = jnp.minimum(dest, n_dev - 1)
-        write_ok = valid & (slot < cap)
-        buckets = buckets.at[okdest, okslot].set(
-            jnp.where(write_ok[:, None], rows, BIG), mode="drop"
-        )
+        buckets = buckets.at[dest, slot].set(rows, mode="drop")
         # the shuffle: one all_to_all replaces the bucket files on disk —
         # gathered[s] = the bucket source s filled for THIS device
         gathered = jax.lax.all_to_all(
@@ -134,13 +135,12 @@ def _exchange_step(mesh: Mesh, n_dev: int, n_reads: int, cap: int):
             jnp.maximum, jnp.where(is_start, idx, -1))
         pos_in_run = idx - run_start
         slot = jnp.zeros(B, jnp.int32).at[order].set(pos_in_run)
+        # UNCLAMPED scatter indices: invalid rows (dest == n_dev) fall
+        # out of bounds and mode='drop' discards them; clamping would
+        # overwrite real rows of the last bucket with BIG (see
+        # sharded_sort_overlaps)
         buckets = jnp.full((n_dev, cap, C), BIG, jnp.int32)
-        okslot = jnp.minimum(slot, cap - 1)
-        okdest = jnp.minimum(dest, n_dev - 1)
-        write_ok = valid & (slot < cap)
-        buckets = buckets.at[okdest, okslot].set(
-            jnp.where(write_ok[:, None], rows, BIG), mode="drop"
-        )
+        buckets = buckets.at[dest, slot].set(rows, mode="drop")
         gathered = jax.lax.all_to_all(
             buckets, "d", split_axis=0, concat_axis=0, tiled=True
         )

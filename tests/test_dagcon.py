@@ -75,6 +75,7 @@ def two_haps():
     return ga, gb
 
 
+@pytest.mark.slow
 def test_dag_recovers_long_insertion(two_haps):
     """Uniform pile: every read carries a 5-base insertion plus two SNPs
     the backbone lacks; the tag chain emits the whole variant cluster in
@@ -103,6 +104,7 @@ def test_dag_mixed_pile_follows_one_chain(two_haps):
     assert want_b in sd and want_a not in sd
 
 
+@pytest.mark.slow
 def test_dag_matches_plurality_on_clean_pile():
     """No-regression: on an unambiguous pile (uniform haplotype,
     substitution-corrupted backbone) both engines restore the genome."""

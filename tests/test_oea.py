@@ -75,6 +75,7 @@ def test_oea_lowers_erates():
     assert after < before * 0.5, (before, after)
 
 
+@pytest.mark.slow
 def test_oea_only_changed_differential():
     """only_changed=True must (a) give IDENTICAL adjusted erates on every
     overlap touching a corrected read, and (b) keep the stored erate on

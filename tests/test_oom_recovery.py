@@ -99,6 +99,7 @@ def test_run_stage_attempt2_succeeds_after_injected_oom(tmp_path):
     assert out.read_text() == "done"
 
 
+@pytest.mark.slow
 def test_overlap_stage_resumes_from_candidate_checkpoint(tmp_path):
     """An injected OOM mid-verify leaves the candidate checkpoint behind;
     the retry must consume it (no sketch recompute) and finish."""
@@ -136,6 +137,7 @@ def test_overlap_stage_resumes_from_candidate_checkpoint(tmp_path):
     assert not os.path.exists(ckpt)
 
 
+@pytest.mark.slow
 def test_verify_identical_under_tiny_inflight_budget():
     """Bounding the in-flight window must not change results."""
     from canu_tpu.ops import minhash as MH

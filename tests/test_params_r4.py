@@ -26,6 +26,7 @@ def small_overlaps():
     return g, rs, st
 
 
+@pytest.mark.slow
 def test_cor_consensus_dag_matches_falcon(small_overlaps):
     """corConsensus=dag: the tag-chain correction produces reads the
     plurality path agrees with (>= 99% identity on shared prefixes)."""

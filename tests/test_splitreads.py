@@ -82,6 +82,7 @@ def test_junction_detection_and_split():
     assert not (set(bad) - set(junctions))
 
 
+@pytest.mark.slow
 def test_partial_overlaps_keep_good_arms():
     """Artifact reads must still receive arm evidence (partial mode)."""
     rs, junctions = _make_reads()

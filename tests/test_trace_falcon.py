@@ -55,6 +55,7 @@ def test_positions_edits_match_bruteforce():
         assert (np.diff(js) >= 0).all()
 
 
+@pytest.mark.slow
 def test_positions_lean_matches_bruteforce():
     """align_positions_lean: exact edits + pinned monotone positions."""
     from canu_tpu.ops.trace import align_positions_lean
