@@ -827,19 +827,39 @@ def assembly_phase(ctx: AssemblyCtx, trimmed_inputs: list[str]) -> None:
             return os.path.isdir(oea_store)
 
         def oea_fn() -> None:
+            import time as _time
+
             from ..ops.oea import adjust_overlap_erates, detect_read_errors
 
+            t0 = _time.monotonic()
             corr = detect_read_errors(
                 rs, st,
                 min_alt_votes=int(ctx.cfg.get("oeaMinAltVotes")),
                 max_own_votes=int(ctx.cfg.get("oeaMaxOwnVotes")),
                 band=int(ctx.cfg.get("utgBandWidth")) * 2,
             )
+            t_red = _time.monotonic() - t0
+            t0 = _time.monotonic()
             new_q = adjust_overlap_erates(
                 rs, st, corr, band=int(ctx.cfg.get("utgBandWidth")),
                 chunk=int(ctx.cfg.get("oeaBatchSize")),
                 only_changed=bool(ctx.cfg.get("oeaOnlyChanged")),
             )
+            t_adj = _time.monotonic() - t0
+            try:
+                import json as _json
+
+                with open(ctx.path(f"{ctx.prefix}.stage-times.jsonl"),
+                          "a") as fh:
+                    _json.dump({"stage": "oea.sub", "sub_walls_s": {
+                        "red": round(t_red, 1), "adjust": round(t_adj, 1)},
+                        "changed_reads": len(corr),
+                        "t_end": round(_time.time(), 1)}, fh)
+                    fh.write("\n")
+            except OSError:
+                pass
+            ctx.log.info(f"oea sub-walls: red={t_red:.1f}s "
+                         f"adjust={t_adj:.1f}s changed={len(corr)}")
             n_fix = sum(len(v) for v in corr.values())
             before = float(np.median(st.erate)) if len(st) else 0.0
             st.update_erates(new_q)

@@ -69,7 +69,10 @@ def main() -> None:
     # this bounds the damage to one attempt's timeout.
     import subprocess
 
-    attempt_timeout = int(os.environ.get("CANU_TPU_ATTEMPT_TIMEOUT", "1500"))
+    # 3600 default (r5): 1500 chopped the healthy warm 4.6 Mb run TWICE
+    # mid-OEA (the stage runs ~1000 s with no output in between) and the
+    # aborted work + restart overhead cost ~1030 s of wall
+    attempt_timeout = int(os.environ.get("CANU_TPU_ATTEMPT_TIMEOUT", "3600"))
     max_attempts = int(os.environ.get("CANU_TPU_MAX_ATTEMPTS", "8"))
     t1 = time.time()
     rc = -1
@@ -157,6 +160,8 @@ def main() -> None:
                     rec = json.loads(line)
                 except json.JSONDecodeError:
                     continue
+                if "wall_s" not in rec:
+                    continue  # sub-stage profile lines carry no wall_s
                 stages[rec["stage"]] = stages.get(rec["stage"], 0.0) + rec["wall_s"]
         res["stage_walls_s"] = {k: round(v, 1) for k, v in stages.items()}
     with open(os.path.join(wd, "result.json"), "w") as fh:
