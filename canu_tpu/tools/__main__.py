@@ -281,6 +281,113 @@ def cmd_kmer_op(args: argparse.Namespace) -> int:
     return 0
 
 
+# ---- mapMers / maskMers / merTrim / mercy (ancillary k-mer tools) -----------
+
+
+def _load_seqs_and_db(args):
+    from ..ops.kmer import KmerCounts
+    from ..stores.readset import ReadSet
+
+    rs, _ = ReadSet.from_fastx([args.fasta], min_read_length=0)
+    db = KmerCounts.load(args.db)
+    return rs, rs.names, db
+
+
+def cmd_map_mers(args: argparse.Namespace) -> int:
+    """mapMers: map a saved k-mer DB onto sequences (mapMers.C ops)."""
+    from ..ops import mermap as MM
+
+    rs, names, db = _load_seqs_and_db(args)
+    hi = args.hi if args.hi is not None else 2**62
+    if args.mode == "stats":
+        for st in MM.map_mers_stats(rs, db, lo=args.lo, hi=hi):
+            nm = names[st.read_id - 1] if names else f"seq{st.read_id}"
+            print(f"{nm}\t{st.length}\t{st.n_mers}\t{st.n_hits}\t"
+                  f"{st.bases_covered}")
+    else:  # regions
+        canon, valid = MM.positional_kmers(rs, db.k)
+        cnt = MM.db_counts_at(canon, db)
+        hit = valid & (cnt >= args.lo) & (cnt <= hi)
+        for r, iv in enumerate(MM.covered_intervals(rs, hit, db.k)):
+            nm = names[r] if names else f"seq{r+1}"
+            for b, e in iv:
+                print(f"{nm}\t{b}\t{e}")
+    return 0
+
+
+def cmd_mask_mers(args: argparse.Namespace) -> int:
+    """maskMers: write the FASTA with DB-covered bases masked to N."""
+    from ..io.fastx import write_fasta
+    from ..ops import mermap as MM
+    from ..utils.bitpack import codes_to_seq
+
+    rs, names, db = _load_seqs_and_db(args)
+    canon, valid = MM.positional_kmers(rs, db.k)
+    cnt = MM.db_counts_at(canon, db)
+    hi = args.hi if args.hi is not None else 2**62
+    hit = valid & (cnt >= args.lo) & (cnt <= hi)
+    ivs = MM.covered_intervals(rs, hit, db.k)
+
+    def seqs():
+        for r in range(rs.n_reads):
+            s = np.frombuffer(
+                codes_to_seq(rs.get_codes(r + 1)).encode(), np.uint8
+            ).copy()
+            for b, e in ivs[r]:
+                s[int(b):int(e)] = ord("N")
+            yield (names[r] if names else f"seq{r+1}"), s.tobytes().decode()
+
+    write_fasta(args.out, seqs())
+    n_masked = sum(int((iv[:, 1] - iv[:, 0]).sum()) for iv in ivs)
+    print(json.dumps({"sequences": rs.n_reads, "bases_masked": n_masked,
+                      "out": args.out}))
+    return 0
+
+
+def cmd_mer_trim(args: argparse.Namespace) -> int:
+    """merTrim: per-read clear range from trusted-k-mer coverage."""
+    from ..ops import mermap as MM
+    from ..ops.kmer import KmerCounts
+    from ..stores.readset import ReadSet
+
+    rs, _ = ReadSet.from_fastx([args.fasta], min_read_length=0)
+    names = rs.names
+    if args.db:
+        db = KmerCounts.load(args.db)
+    else:
+        from ..ops.kmer import count_readset_host
+
+        db = count_readset_host(rs, args.k)
+    clear = MM.mer_trim(rs, db, threshold=args.threshold,
+                        min_length=args.min_length)
+    kept = 0
+    for r in range(rs.n_reads):
+        nm = names[r] if names else f"read{r+1}"
+        b, e = int(clear[r, 0]), int(clear[r, 1])
+        print(f"{nm}\t{rs.length[r]}\t{b}\t{e}")
+        kept += e - b
+    print(f"# kept {kept} of {int(rs.total_bases)} bases "
+          f"({kept/max(1,int(rs.total_bases)):.1%})", file=sys.stderr)
+    return 0
+
+
+def cmd_mercy(args: argparse.Namespace) -> int:
+    """mercy: read-mer vs assembly-mer QC report."""
+    from ..ops import mermap as MM
+    from ..ops.kmer import count_readset_host
+    from ..stores.readset import ReadSet
+
+    reads, _ = ReadSet.from_fastx([args.reads], min_read_length=0)
+    asm, _ = ReadSet.from_fastx([args.assembly], min_read_length=0)
+    rdb = count_readset_host(reads, args.k)
+    adb = count_readset_host(asm, args.k)
+    rep = MM.mercy(rdb, adb, low_count=args.low_count)
+    print(rep.summary())
+    print(json.dumps({"k": rep.k, "classes": rep.classes,
+                      "missing_normal": rep.missing_normal}))
+    return 0
+
+
 # ---- tig-dump / tig-display (tgStoreDump, tgTigDisplay) ----------------------
 
 
@@ -552,6 +659,41 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("-n", type=int, help="threshold for count filters")
     s.add_argument("-o", dest="out", required=True)
     s.set_defaults(fn=cmd_kmer_op)
+
+    s = sub.add_parser("map-mers", help="map a k-mer DB onto sequences "
+                       "(mapMers -stats/-regions)")
+    s.add_argument("--db", required=True)
+    s.add_argument("--fasta", required=True)
+    s.add_argument("--mode", choices=("stats", "regions"), default="stats")
+    s.add_argument("--lo", type=int, default=1)
+    s.add_argument("--hi", type=int, default=None)
+    s.set_defaults(fn=cmd_map_mers)
+
+    s = sub.add_parser("mask-mers", help="mask DB-covered bases to N "
+                       "(maskMers)")
+    s.add_argument("--db", required=True)
+    s.add_argument("--fasta", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--lo", type=int, default=1)
+    s.add_argument("--hi", type=int, default=None)
+    s.set_defaults(fn=cmd_mask_mers)
+
+    s = sub.add_parser("mer-trim", help="clear ranges from trusted-mer "
+                       "coverage (merTrim; trim only)")
+    s.add_argument("--fasta", required=True)
+    s.add_argument("--db", default=None,
+                   help="saved DB (default: count the input at -k)")
+    s.add_argument("-k", type=int, default=22)
+    s.add_argument("--threshold", type=int, default=2)
+    s.add_argument("--min-length", type=int, default=64)
+    s.set_defaults(fn=cmd_mer_trim)
+
+    s = sub.add_parser("mercy", help="read-mer vs assembly-mer QC (mercy)")
+    s.add_argument("--reads", required=True)
+    s.add_argument("--assembly", required=True)
+    s.add_argument("-k", type=int, default=22)
+    s.add_argument("--low-count", type=int, default=3)
+    s.set_defaults(fn=cmd_mercy)
 
     s = sub.add_parser("tig-dump", help="tig store -> fasta/layout/sizes")
     s.add_argument("store")

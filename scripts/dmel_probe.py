@@ -44,37 +44,72 @@ def main() -> None:
         print(f"# {name}: {dt:.1f}s", flush=True)
         return time.time()
 
-    from canu_tpu.ops import kmer as K
-    from canu_tpu.ops import minhash as MH
-    from canu_tpu.sim.simulate import random_genome, simulate_reads
-
-    t = time.time()
-    g = random_genome(gsize, seed=7)
-    rs, _ = simulate_reads(
-        g, coverage=cov, mean_len=3500, min_len=1500, max_len=7800,
-        error_rate=0.10, seed=8,
-    )
-    res["reads"] = rs.n_reads
-    res["bases"] = int(rs.total_bases)
-    print(f"# sim: {rs.n_reads} reads, {rs.total_bases} bases", flush=True)
-    t = lap("sim", t)
-
-    # gatekeeper role: the ReadSet is already packed by the simulator;
-    # measure the store round-trip (atomic save + mmap load)
-    store = os.path.join(wd, "probe.gkpStore")
-    rs.save(store)
     from canu_tpu.stores.readset import ReadSet
 
-    rs = ReadSet.load(store)
-    t = lap("gatekeeper-store", t)
+    # Two-phase operation so the ~1.26M-read simulation (host, CPU-only)
+    # can run concurrently with other TPU work: invoke once with
+    # CANU_TPU_PROBE_SIMONLY=1 JAX_PLATFORMS=cpu to build the store, then
+    # again without the env to run the device stages from the saved store.
+    store = os.path.join(wd, "probe.gkpStore")
+    t = time.time()
+    if os.path.isdir(store):
+        rs = ReadSet.load(store)
+        t = lap("gatekeeper-store", t)
+    else:
+        from canu_tpu.sim.simulate import random_genome, simulate_reads
 
-    # cor-meryl: 4.2e9 instances routes to the host counter
-    kc = K.count_readset_device(rs, k=16, block_size=256)
-    is_host = not hasattr(kc, "to_host")
-    fk = K.frequent_kmers(kc, distinct_fraction=0.9995)
-    res["meryl_engine"] = "host-fallback" if is_host else "device"
-    res["frequent_mers"] = int(fk.n)
-    t = lap("cor-meryl", t)
+        g = random_genome(gsize, seed=7)
+        rs, _ = simulate_reads(
+            g, coverage=cov, mean_len=3500, min_len=1500, max_len=7800,
+            error_rate=0.10, seed=8,
+        )
+        print(f"# sim: {rs.n_reads} reads, {rs.total_bases} bases",
+              flush=True)
+        t = lap("sim", t)
+        rs.save(store)
+        rs = ReadSet.load(store)
+        t = lap("gatekeeper-store", t)
+    res["reads"] = rs.n_reads
+    res["bases"] = int(rs.total_bases)
+    if os.environ.get("CANU_TPU_PROBE_SIMONLY"):
+        with open(os.path.join(wd, "sim.json"), "w") as fh:
+            json.dump(res, fh, indent=1)
+        print("# sim-only: store written, exiting", flush=True)
+        return
+
+    from canu_tpu.ops import kmer as K
+    from canu_tpu.ops import minhash as MH
+
+    # cor-meryl: 4.2e9 instances routes to the host counter.  This
+    # stage is pure host CPU, so it can ALSO run as its own CPU-only
+    # process (CANU_TPU_PROBE_MERYLONLY=1 JAX_PLATFORMS=cpu) concurrent
+    # with other TPU work; the result is checkpointed and reloaded.
+    fk_path = os.path.join(wd, "probe.frequent.npz")
+    if os.path.exists(fk_path):
+        z = np.load(fk_path)
+        fk = K.FrequentKmers(
+            k=int(z["k"]), kmers=z["kmers"], fraction=z["fraction"],
+            threshold=int(z["threshold"]), total_kmers=int(z["total"]),
+        )
+        res["meryl_engine"] = "host-fallback (checkpointed)"
+        res["frequent_mers"] = int(fk.n)
+        t = lap("cor-meryl-load", t)
+    else:
+        kc = K.count_readset_device(rs, k=16, block_size=256)
+        is_host = not hasattr(kc, "to_host")
+        fk = K.frequent_kmers(kc, distinct_fraction=0.9995)
+        res["meryl_engine"] = "host-fallback" if is_host else "device"
+        res["frequent_mers"] = int(fk.n)
+        t = lap("cor-meryl", t)
+        np.savez(fk_path, k=fk.k, kmers=fk.kmers, fraction=fk.fraction,
+                 threshold=fk.threshold, total=fk.total_kmers)
+        if os.environ.get("CANU_TPU_PROBE_MERYLONLY"):
+            res["stage_walls_s"]["note"] = "meryl-only pass"
+            with open(os.path.join(wd, "meryl.json"), "w") as fh:
+                json.dump(res, fh, indent=1)
+            print("# meryl-only: frequent table written, exiting",
+                  flush=True)
+            return
 
     sk = MH.build_sketches(rs, k=16, n_hashes=512, frequent=fk,
                            block_size=256)
