@@ -136,6 +136,15 @@ class Config:
                          "sketch sensitivity preset: low|normal|high|auto")
         self._reg_tagged("bandWidth", {"cor": 256, "obt": 128, "utg": 128}, int,
                          "banded-extension band width (multiple of 128)")
+        # verify band measured SEPARATELY from the vote-engine band: the
+        # anchor-chain band centering absorbs raw-read indel drift, so
+        # the overlap VERIFY needs only 128 even at 10% error — measured
+        # bit-identical pair set + erates vs 256 and 7.65x faster
+        # (scripts/band_experiment.py, r5); corBandWidth stays 256 for
+        # the correction vote engine's window DP.
+        self._reg_tagged("ovlBandWidth", {"cor": 128, "obt": 128, "utg": 128}, int,
+                         "overlap-verify band width (multiple of 128; "
+                         "vote engines use the wider {tag}BandWidth)")
         self._reg_tagged("merDistinct", {"cor": 0.9995, "obt": 0.9995, "utg": 0.9995}, float,
                          "fraction of distinct k-mers below the frequent-mer cutoff")
         self._reg_tagged("merThreshold", {"cor": "auto", "obt": "auto", "utg": "auto"}, str,
@@ -597,6 +606,10 @@ class Config:
             bw = self.get(tag + "BandWidth")
             if bw % 128 != 0:
                 raise ConfigError(f"{tag}BandWidth={bw} must be a multiple of 128")
+            obw = self.get(tag + "OvlBandWidth")
+            if obw % 128 != 0:
+                raise ConfigError(
+                    f"{tag}OvlBandWidth={obw} must be a multiple of 128")
             er = self.get(tag + "OvlErrorRate")
             if not (0 < er < 0.6):
                 raise ConfigError(f"{tag}OvlErrorRate={er} out of range")

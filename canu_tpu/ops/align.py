@@ -626,6 +626,7 @@ def verify_overlaps(
     partial: bool = False,
     palindromic_min: int = 0,
     sink=None,
+    index=None,
 ) -> OverlapTable:
     """Verify candidates with the banded extension; returns OverlapTable.
 
@@ -655,6 +656,10 @@ def verify_overlaps(
     overlaps instead of accumulating them in RAM — the scale path
     (stores.overlaps.OverlapSpill + native external sort).  The returned
     table is then empty.
+
+    index: optional prebuilt ReadIndex to use instead of
+    get_read_index(readset, k) — for readsets sharing another set's
+    geometry (minimizers.corrected_read_index).
     """
     if engine is None:
         engine = "pallas_x8" if use_pallas else "myers"
@@ -681,10 +686,13 @@ def verify_overlaps(
         "a_id", "b_id", "flipped", "a_bgn", "a_end", "b_bgn", "b_end", "erate_q")}
     M = len(a_id_all)
     # device-resident read index (packed words + minimizer seeds), built
-    # once per (readset, k) and reused across passes/phases
-    from .minimizers import get_read_index
+    # once per (readset, k) and reused across passes/phases; callers
+    # with an equivalent-geometry index (OEA's corrected reads) pass
+    # their own
+    if index is None:
+        from .minimizers import get_read_index
 
-    index = get_read_index(readset, k=k)
+        index = get_read_index(readset, k=k)
     n_rows = index.words.shape[1] * 16
     # dispatch every chunk before fetching any result: device queues the
     # work, host pays one round-trip per chunk instead of a sync each

@@ -24,6 +24,15 @@ graph nodes once (node count ~ 5x segment length).  This mode is
 selected with cnsConsensus=dag (reference utgcns -pbdagcon vs -quick,
 /root/reference/src/utgcns/utgcns.C:60-530); the plurality engine
 remains the default (cnsConsensus=plurality).
+
+Measured host-DP throughput (r5, this 2-core box under load): 7.4 ms
+per 512-base segment at 40x evidence = ~14 s per Mb of backbone per
+polish round — ~65 s for an E. coli-sized assembly, fine for the
+opt-in mode; a whole 140 Mb genome would spend ~30 min here, so dag
+stays non-default at that scale until the chain DP is batched across
+segments (the edge structure — (pos,d)->(pos,d+1) and (pos,*)->
+(pos+1,0) — admits a column-sweep vectorization over all segments at
+once; not done, measured instead).
 """
 
 from __future__ import annotations

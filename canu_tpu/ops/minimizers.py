@@ -238,6 +238,29 @@ def build_read_index(
     )
 
 
+def corrected_read_index(base: ReadIndex, readset: ReadSet) -> ReadIndex:
+    """Index for a SUBSTITUTION-corrected copy of base's read set.
+
+    OEA's corrected reads differ from the originals only by in-place
+    substitutions (ops.oea.apply_corrections), so read lengths and
+    syncmer geometry are unchanged; only the packed word plane needs
+    re-uploading.  The seed k-mer VALUES at corrected positions go
+    stale, but seeds only vote orientation and center the band — a few
+    stale anchors among hundreds are harmless, while re-extracting
+    syncmers for the whole set costs ~20 s per Mb-genome readset on the
+    tunnel (measured r5, the dominant wall of the adjust sub-stage).
+    """
+    W = base.words.shape[1]
+    ids_all = np.arange(1, readset.n_reads + 1, dtype=np.int64)
+    host_words, _ = readset.block_words(ids_all, W)
+    host_words = np.vstack([host_words, np.zeros((1, W), np.uint32)])
+    return ReadIndex(
+        words=jnp.asarray(host_words), length=base.length, mker=base.mker,
+        mpos=base.mpos, mstr=base.mstr, n_reads=base.n_reads, k=base.k,
+        pm=base.pm,
+    )
+
+
 def get_read_index(readset: ReadSet, k: int) -> ReadIndex:
     """Cached index per (readset, k) — ReadSets are immutable.
 

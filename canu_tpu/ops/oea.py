@@ -143,10 +143,16 @@ def adjust_overlap_erates(
     """
     from .align import verify_overlaps
     from .minhash import OverlapCandidates
+    from .minimizers import corrected_read_index, get_read_index
 
     if not len(st.a_id):
         return st.erate_q.copy()
     rs_fixed = apply_corrections(rs, corrections)
+    # substitutions keep lengths + syncmer geometry: reuse the original
+    # readset's (cached) seed index with the corrected word plane
+    # instead of re-extracting syncmers (~20 s / Mb-genome on the
+    # tunnel, measured r5 — it dominated the adjust sub-stage)
+    idx = corrected_read_index(get_read_index(rs, k=16), rs_fixed)
     half = st.a_id < st.b_id  # one direction; mirror rows share the erate
     if only_changed:
         changed = np.zeros(st.n_reads + 1, bool)
@@ -164,7 +170,7 @@ def adjust_overlap_erates(
     )
     ov = verify_overlaps(
         rs_fixed, cand, band=band, max_erate=1.0, min_overlap=0,
-        chunk=chunk, engine=engine,
+        chunk=chunk, engine=engine, index=idx,
     )
     out = st.erate_q.copy()
     if len(ov) == 0:

@@ -406,7 +406,7 @@ def overlap(ctx: AssemblyCtx, tag: str, rs: ReadSet, fk) -> OverlapStore:
         # device pass (place_candidates is folded into verify_overlaps)
         verify_kwargs = dict(
             k=k,
-            band=int(cfg.get(tag + "BandWidth")),
+            band=int(cfg.get(tag + "OvlBandWidth")),
             max_erate=float(cfg.get(tag + "OvlErrorRate")),
             min_overlap=int(cfg.get("minOverlapLength")),
             chunk=512,
