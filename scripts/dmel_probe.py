@@ -95,7 +95,25 @@ def main() -> None:
         res["frequent_mers"] = int(fk.n)
         t = lap("cor-meryl-load", t)
     else:
-        kc = K.count_readset_device(rs, k=16, block_size=256)
+        # CANU_TPU_PROBE_MERYL_SAMPLE=<frac>: count a random read
+        # subsample instead of all 4.2e9 instances.  The frequent table
+        # is the TOP 0.05% of distinct mers — high-count mers are
+        # massively oversampled at any fraction, so the selected set is
+        # nearly identical while the host count drops proportionally
+        # (the full-set host counter spends most of its wall in kernel
+        # page-fault churn on this box's 2 cores).
+        frac = float(os.environ.get("CANU_TPU_PROBE_MERYL_SAMPLE", "1"))
+        rs_m = rs
+        if frac < 1.0:
+            sel = np.random.default_rng(5).random(rs.n_reads) < frac
+            ids = np.flatnonzero(sel) + 1
+            from canu_tpu.stores.readset import ReadSet as _RS
+
+            rs_m = _RS.from_codes_list(
+                [rs.get_codes(int(i)) for i in ids]
+            )
+            res["meryl_sample_fraction"] = frac
+        kc = K.count_readset_device(rs_m, k=16, block_size=256)
         is_host = not hasattr(kc, "to_host")
         fk = K.frequent_kmers(kc, distinct_fraction=0.9995)
         res["meryl_engine"] = "host-fallback" if is_host else "device"
