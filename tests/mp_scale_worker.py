@@ -111,3 +111,11 @@ if pid == 0:
         "peak_rss_mb_p0": round(rss_mb), "verify_s": round(verify_s, 1),
     }), flush=True)
     print("MP_SCALE_OK", flush=True)
+
+# all processes must reach the final barrier: p0's single-process
+# equality rebuild runs MINUTES after the other workers finish their
+# shards, and a worker that exits early trips jax.distributed's
+# shutdown barrier, which then KILLS p0 mid-check (observed at 3 Mb,
+# r5: p0 terminated by 'Shutdown barrier has failed' — the structural
+# check had to be finished standalone from the on-disk shards).
+barrier("scale-done")
