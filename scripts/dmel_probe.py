@@ -38,10 +38,16 @@ def main() -> None:
     res: dict = {"genome": gsize, "coverage": cov, "mode": "probe",
                  "stage_walls_s": {}}
 
+    def _checkpoint():
+        # a device OOM mid-probe must not lose the measured walls
+        with open(os.path.join(wd, "result.json"), "w") as fh:
+            json.dump(res, fh, indent=1)
+
     def lap(name, t0):
         dt = time.time() - t0
         res["stage_walls_s"][name] = round(dt, 1)
         print(f"# {name}: {dt:.1f}s", flush=True)
+        _checkpoint()
         return time.time()
 
     from canu_tpu.stores.readset import ReadSet
@@ -129,16 +135,24 @@ def main() -> None:
                   flush=True)
             return
 
-    sk = MH.build_sketches(rs, k=16, n_hashes=512, frequent=fk,
-                           block_size=256)
-    sk = np.asarray(sk)
-    t = lap("sketch", t)
+    cand_path = os.path.join(wd, "probe.candidates.npy")
+    if os.path.exists(cand_path):
+        pairs = np.load(cand_path)
+        res["candidates"] = int(len(pairs))
+        res["stage_walls_s"]["match-join"] = res["stage_walls_s"].get(
+            "match-join", 0.0)
+        t = lap("candidates-load", t)
+    else:
+        sk = MH.build_sketches(rs, k=16, n_hashes=512, frequent=fk,
+                               block_size=256)
+        sk = np.asarray(sk)
+        t = lap("sketch", t)
 
-    pairs = MH.find_candidates_join(sk, min_matches=2)
-    del sk
-    res["candidates"] = int(len(pairs))
-    t = lap("match-join", t)
-    np.save(os.path.join(wd, "probe.candidates.npy"), pairs[:, :2])
+        pairs = MH.find_candidates_join(sk, min_matches=2)
+        del sk
+        res["candidates"] = int(len(pairs))
+        t = lap("match-join", t)
+        np.save(cand_path, pairs[:, :2])
 
     # verification throughput on a random sample (same kernel + params
     # as the pipeline's cor pass: partial overlaps, band 256)
@@ -146,9 +160,23 @@ def main() -> None:
 
     rng = np.random.default_rng(1)
     sel = rng.choice(len(pairs), min(sample_n, len(pairs)), replace=False)
-    sub = pairs[np.sort(sel)][:, :2]
+    sub = pairs[np.sort(sel)][:, :2].astype(np.int64)
+    # Verify against a COMPACT subset readset holding only the reads the
+    # sample touches: staging the full 1.2M-read store's code planes to
+    # the device OOMs a single v5e, and the sharded pipeline never does
+    # that either — each process stages only its shard's reads.  Subset
+    # + id remap bounds device memory at any total scale.
+    uniq = np.unique(sub)
+    remap = np.zeros(int(uniq.max()) + 1, np.int64)
+    remap[uniq] = np.arange(1, len(uniq) + 1)
+    from canu_tpu.stores.readset import ReadSet as _RS
+
+    rs_sub = _RS.from_codes_list([rs.get_codes(int(i)) for i in uniq])
+    sub = remap[sub]
+    res["verify_subset_reads"] = int(len(uniq))
+    t = lap("verify-subset-build", t)
     t0 = time.time()
-    ov = verify_overlaps(rs, sub, k=16, band=256, max_erate=0.30,
+    ov = verify_overlaps(rs_sub, sub, k=16, band=256, max_erate=0.30,
                          min_overlap=500, chunk=512, min_shared=4,
                          partial=True)
     dt = time.time() - t0
